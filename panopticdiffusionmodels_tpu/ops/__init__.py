@@ -1,0 +1,1 @@
+from .attention import multi_head_attention
