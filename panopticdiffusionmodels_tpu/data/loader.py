@@ -1,0 +1,108 @@
+"""Host input pipeline: threaded batch assembly + device prefetch.
+
+Replaces the reference's torch DataLoader workers (reference
+`train_t2i_discrete.py:266-270`) with a TPU-appropriate pipeline:
+
+  * a thread pool assembles numpy batches (per-sample `.npy` reads release the
+    GIL inside numpy/PIL),
+  * finished batches are `jax.device_put` with the mesh batch sharding one step
+    ahead of consumption (double buffering), so the TPU never waits on host IO.
+"""
+from __future__ import annotations
+
+import collections
+import queue
+import random
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Any, Iterator, Optional
+
+import jax
+import numpy as np
+
+
+def _collate(samples):
+    first = samples[0]
+    if isinstance(first, tuple):
+        return tuple(np.stack([s[i] for s in samples]) for i in range(len(first)))
+    return np.stack(samples)
+
+
+class Loader:
+    """Infinite shuffled batch iterator over a map-style dataset."""
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        shuffle: bool = True,
+        drop_last: bool = True,
+        num_workers: int = 8,
+        seed: int = 0,
+    ):
+        assert len(dataset) >= batch_size, "dataset smaller than one batch"
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.pool = ThreadPoolExecutor(max_workers=num_workers) if num_workers > 0 else None
+        self.rng = random.Random(seed)
+
+    def _epoch_indices(self):
+        idx = list(range(len(self.dataset)))
+        if self.shuffle:
+            self.rng.shuffle(idx)
+        return idx
+
+    def epoch(self) -> Iterator[Any]:
+        """One pass over the data."""
+        idx = self._epoch_indices()
+        nb = len(idx) // self.batch_size
+        if not self.drop_last and len(idx) % self.batch_size:
+            nb += 1
+        for b in range(nb):
+            batch_idx = idx[b * self.batch_size : (b + 1) * self.batch_size]
+            if self.pool is not None:
+                samples = list(self.pool.map(self.dataset.__getitem__, batch_idx))
+            else:
+                samples = [self.dataset[i] for i in batch_idx]
+            yield _collate(samples)
+
+    def __iter__(self) -> Iterator[Any]:
+        """Infinite stream (the reference wraps its loader in a while-True
+        generator, `train_t2i_discrete.py:368-373`)."""
+        while True:
+            yield from self.epoch()
+
+
+def prefetch_to_device(iterator, sharding, size: int = 2) -> Iterator[Any]:
+    """Move batches onto the mesh `size` steps ahead of consumption.
+
+    Uses a background thread so host collation overlaps device compute; each
+    yielded batch is already a sharded global jax.Array.
+    """
+    q: "queue.Queue" = queue.Queue(maxsize=size)
+    stop = threading.Event()
+
+    def put(batch):
+        return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+
+    def worker():
+        try:
+            for batch in iterator:
+                if stop.is_set():
+                    return
+                q.put(put(batch))
+        finally:
+            q.put(None)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    try:
+        while True:
+            item = q.get()
+            if item is None:
+                return
+            yield item
+    finally:
+        stop.set()

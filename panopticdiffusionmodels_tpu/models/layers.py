@@ -179,12 +179,12 @@ class Block(nn.Module):
             dtype=self.dtype,
             attn_impl=self.attn_impl,
             name="attn",
-        )(nn.LayerNorm(dtype=self.dtype, name="norm1")(x))
+        )(nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x))
         x = x + Mlp(
             hidden_features=int(dim * self.mlp_ratio),
             dtype=self.dtype,
             name="mlp",
-        )(nn.LayerNorm(dtype=self.dtype, name="norm2")(x))
+        )(nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x))
         return x
 
 

@@ -1,0 +1,284 @@
+"""Text-to-image U-ViT with joint panoptic-mask co-generation (the headline model).
+
+TPU-native re-design of the reference dual-stream architecture
+(reference `libs/uvit_t2i.py:258-525`):
+
+  * image stream: [time | 77 CLIP context tokens | image patches], standard U-ViT
+    blocks with long skips,
+  * mask stream (`separate=True`, ControlNet style): analog-bit mask patches `m`
+    run through their own blocks on the CONCATENATED sequence `[x ; m]`; after
+    every block the image half of the mask stream is projected through a
+    zero-initialized per-token linear layer ("zeroconv", reference
+    `libs/uvit_t2i.py:246-257,366-369`) and added back into the image stream,
+  * `separate=False`: single stream, mask tokens appended to the sequence,
+  * mask head: linear decode -> unpatchify(mask_bits ch) -> 3x3 conv -> tanh
+    (reference `libs/uvit_t2i.py:343-348,510-513`),
+  * `use_ground_truth=True`: merge mask features into image features and return
+    the ground-truth mask untouched (reference `libs/uvit_t2i.py:486-496`).
+
+Design fixes over the reference snapshot (SURVEY.md §2.3): the mask operates at
+its own resolution (`mask_size`, typically 2x the latent size) with
+`mask_patch_size = patch_size * mask_size / img_size`, so mask and image token
+counts match and the mask head decodes back to (mask_size, mask_size, mask_bits).
+The reference's `patch_factor` config knob intended exactly this but was never
+wired through.
+
+All mode flags (`enable_panoptic`, `separate`, `use_ground_truth`, presence of
+`mask_token`) are static at trace time, so each configuration compiles to its own
+specialized XLA program — no dynamic control flow on device.
+"""
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from .layers import (
+    Block,
+    Conv3x3,
+    PatchEmbed,
+    TimeEmbed,
+    default_init,
+    timestep_embedding,
+    unpatchify,
+)
+
+Dtype = Any
+
+zero_init = nn.initializers.zeros
+
+
+class ZeroConv(nn.Module):
+    """Per-token linear projection, zero-initialized (ControlNet coupling).
+
+    Equivalent to the reference's Conv1d(embed, embed, 1) with zero init
+    (`libs/uvit_t2i.py:246-257,366-369`): at init the mask stream contributes
+    nothing to the image stream; training opens the gate.
+    """
+
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.Dense(
+            x.shape[-1],
+            kernel_init=zero_init,
+            bias_init=zero_init,
+            dtype=self.dtype,
+            name="conv",
+        )(x)
+
+
+class UViTT2I(nn.Module):
+    """U-ViT for text-to-image with optional panoptic co-generation."""
+
+    img_size: int = 32
+    patch_size: int = 2
+    in_chans: int = 4
+    embed_dim: int = 512
+    depth: int = 12
+    num_heads: int = 8
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = False
+    qk_scale: Optional[float] = None
+    mlp_time_embed: bool = False
+    clip_dim: int = 768
+    num_clip_token: int = 77
+    conv: bool = True
+    skip: bool = True
+    # Panoptic mask stream.
+    enable_panoptic: bool = True
+    separate: bool = True
+    mask_bits: int = 8  # analog-bit channels (reference num_panoptic_class=8)
+    mask_size: int = 64  # mask spatial resolution (2x latent by default)
+    use_checkpoint: bool = False
+    dtype: Dtype = jnp.float32
+    attn_impl: str = "auto"
+
+    @property
+    def extras(self) -> int:
+        return 1 + self.num_clip_token
+
+    @property
+    def mask_patch_size(self) -> int:
+        # Keep mask token count == image token count.
+        assert self.mask_size % self.img_size == 0
+        return self.patch_size * (self.mask_size // self.img_size)
+
+    @nn.compact
+    def __call__(
+        self,
+        x,
+        timesteps,
+        context,
+        mask_token=None,
+        use_ground_truth: bool = False,
+    ):
+        """x: (B, h, w, C) latent NHWC; context: (B, 77, clip_dim);
+        mask_token: optional (B, mask_size, mask_size, mask_bits) analog bits.
+
+        Returns noise (B, h, w, C), or (noise, mask_pred) when mask_token given.
+        """
+        num_patches = (self.img_size // self.patch_size) ** 2
+        enable_panoptic = self.enable_panoptic and mask_token is not None
+
+        x = PatchEmbed(
+            patch_size=self.patch_size,
+            embed_dim=self.embed_dim,
+            dtype=self.dtype,
+            name="patch_embed",
+        )(x)
+        b, l, d = x.shape
+
+        time_token = TimeEmbed(
+            embed_dim=self.embed_dim,
+            mlp=self.mlp_time_embed,
+            dtype=self.dtype,
+            name="time_embed",
+        )(timestep_embedding(timesteps, self.embed_dim))
+        time_token = time_token.astype(x.dtype)[:, None, :]
+        context_token = nn.Dense(
+            self.embed_dim,
+            kernel_init=default_init,
+            bias_init=nn.initializers.zeros,
+            dtype=self.dtype,
+            name="context_embed",
+        )(context)
+
+        # Positional embeddings: sized for the configured mode.
+        if self.enable_panoptic and not self.separate:
+            pos_len = self.extras + 2 * num_patches
+        else:
+            pos_len = self.extras + num_patches
+        pos_embed = self.param(
+            "pos_embed", default_init, (1, pos_len, self.embed_dim)
+        )
+
+        m = None
+        if enable_panoptic:
+            mask_embedding = PatchEmbed(
+                patch_size=self.mask_patch_size,
+                embed_dim=self.embed_dim,
+                dtype=self.dtype,
+                name="mask_embed",
+            )(mask_token)
+            assert mask_embedding.shape[1] == l, (
+                f"mask tokens ({mask_embedding.shape[1]}) must match image tokens ({l})"
+            )
+            if not self.separate:
+                x = jnp.concatenate(
+                    [time_token, context_token, x, mask_embedding], axis=1
+                )
+                x = x + pos_embed.astype(x.dtype)
+            else:
+                pos_embed_mask = self.param(
+                    "pos_embed_mask", default_init, (1, num_patches, self.embed_dim)
+                )
+                x = jnp.concatenate([time_token, context_token, x], axis=1)
+                x = x + pos_embed.astype(x.dtype)
+                m = mask_embedding + pos_embed_mask.astype(x.dtype)
+        else:
+            x = jnp.concatenate([time_token, context_token, x], axis=1)
+            x = x + pos_embed[:, : self.extras + l, :].astype(x.dtype)
+
+        block_cls = nn.remat(Block) if self.use_checkpoint else Block
+
+        def make_block(name, skip=False):
+            return block_cls(
+                num_heads=self.num_heads,
+                mlp_ratio=self.mlp_ratio,
+                qkv_bias=self.qkv_bias,
+                qk_scale=self.qk_scale,
+                skip=skip,
+                dtype=self.dtype,
+                attn_impl=self.attn_impl,
+                name=name,
+            )
+
+        dual = enable_panoptic and self.separate
+        img_len = self.extras + l
+
+        def couple(mx, x, zc_name):
+            """Split the mask-stream output and gate its image half into x."""
+            x_add = ZeroConv(dtype=self.dtype, name=zc_name)(mx[:, :img_len, :])
+            return x + x_add, mx[:, img_len:, :]
+
+        skips, skips_mask = [], []
+        for i in range(self.depth // 2):
+            if dual:
+                mx = jnp.concatenate([x, m], axis=1)
+            x = make_block(f"in_blocks_{i}")(x)
+            if dual:
+                mx = make_block(f"in_blocks_mask_{i}")(mx)
+                x, m = couple(mx, x, f"zero_convs_in_{i}")
+                skips_mask.append(mx)
+            skips.append(x)
+
+        if dual:
+            mx = jnp.concatenate([x, m], axis=1)
+        x = make_block("mid_block")(x)
+        if dual:
+            mx = make_block("mid_block_mask")(mx)
+            x, m = couple(mx, x, "zero_convs_mid")
+
+        for i in range(self.depth // 2):
+            if dual:
+                mx = jnp.concatenate([x, m], axis=1)
+            x = make_block(f"out_blocks_{i}", skip=self.skip)(x, skips.pop())
+            if dual:
+                mx = make_block(f"out_blocks_mask_{i}", skip=self.skip)(
+                    mx, skips_mask.pop()
+                )
+                x, m = couple(mx, x, f"zero_convs_out_{i}")
+
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
+
+        decoder_pred = nn.Dense(
+            self.patch_size ** 2 * self.in_chans,
+            kernel_init=default_init,
+            bias_init=nn.initializers.zeros,
+            dtype=self.dtype,
+            name="decoder_pred",
+        )
+
+        mask_pred = None
+        if enable_panoptic:
+            if use_ground_truth:
+                # Merge mask features into image features; echo the GT mask
+                # (reference `libs/uvit_t2i.py:486-496`).
+                image_feature = x[:, self.extras : self.extras + l, :]
+                if not self.separate:
+                    mask_feature = x[:, self.extras + l :, :]
+                else:
+                    mask_feature = m
+                noise = decoder_pred(image_feature + mask_feature)
+                mask_pred = mask_token
+            else:
+                if not self.separate:
+                    noise = decoder_pred(x[:, self.extras : self.extras + l, :])
+                    mask_feature = x[:, self.extras + l :, :]
+                else:
+                    noise = decoder_pred(x[:, self.extras :, :])
+                    mask_feature = m
+                y = nn.Dense(
+                    self.mask_patch_size ** 2 * self.mask_bits,
+                    kernel_init=default_init,
+                    bias_init=nn.initializers.zeros,
+                    dtype=self.dtype,
+                    name="decoder_pred_mask",
+                )(mask_feature)
+                y = unpatchify(y, self.mask_bits)
+                if self.conv:
+                    y = Conv3x3(self.mask_bits, dtype=self.dtype, name="final_layer_mask")(y)
+                mask_pred = jnp.tanh(y)
+        else:
+            noise = decoder_pred(x[:, self.extras : self.extras + l, :])
+
+        noise = unpatchify(noise, self.in_chans)
+        if self.conv:
+            noise = Conv3x3(self.in_chans, dtype=self.dtype, name="final_layer")(noise)
+
+        if mask_token is not None:
+            return noise, mask_pred
+        return noise

@@ -1,0 +1,72 @@
+"""Parameter sharding rules for the (dp, fsdp, tp) mesh.
+
+Rules are shape/name-driven so they apply to any model in the zoo without
+per-model annotation plumbing:
+
+  * 'tp' shards the dimensions that are contraction-parallel in a transformer:
+    qkv / mlp-fc1 output dims (column parallel) and proj / fc2 input dims
+    (row parallel).  XLA's SPMD partitioner inserts the psum for the row-parallel
+    halves automatically,
+  * 'fsdp' shards the largest remaining dim of every tensor with >= 2**16
+    elements (ZeRO-3 semantics: params live sharded, XLA all-gathers just-in-time
+    and reduce-scatters gradients),
+  * everything else is replicated.
+"""
+from __future__ import annotations
+
+from typing import Any, Tuple
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+# Column-parallel params: output dim (last axis of the kernel) is split.
+_TP_COL = ("qkv", "fc1")
+# Row-parallel params: input dim (first axis of the kernel) is split.
+_TP_ROW = ("proj", "fc2")
+
+_FSDP_MIN_SIZE = 1 << 16
+
+
+def _spec_for(path: Tuple[str, ...], shape, mesh: Mesh) -> P:
+    tp = mesh.shape["tp"]
+    fsdp = mesh.shape["fsdp"]
+    names = [None] * len(shape)
+    path_strs = [str(getattr(k, "key", k)) for k in path]
+    is_kernel = path_strs and path_strs[-1] == "kernel" and len(shape) == 2
+
+    if tp > 1 and is_kernel:
+        owner = path_strs[-2] if len(path_strs) >= 2 else ""
+        if owner in _TP_COL and shape[1] % tp == 0:
+            names[1] = "tp"
+        elif owner in _TP_ROW and shape[0] % tp == 0:
+            names[0] = "tp"
+
+    if fsdp > 1:
+        size = 1
+        for s in shape:
+            size *= s
+        if size >= _FSDP_MIN_SIZE:
+            # shard the largest eligible unsharded dim
+            order = sorted(range(len(shape)), key=lambda i: -shape[i])
+            for i in order:
+                if names[i] is None and shape[i] % fsdp == 0:
+                    names[i] = "fsdp"
+                    break
+    while names and names[-1] is None:
+        names.pop()
+    return P(*names)
+
+
+def shard_params_rules(params: Any, mesh: Mesh):
+    """Pytree of NamedShardings matching `params` under the mesh's rules."""
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    treedef = jax.tree_util.tree_structure(params)
+    specs = [
+        NamedSharding(mesh, _spec_for(path, leaf.shape, mesh)) for path, leaf in flat
+    ]
+    return jax.tree_util.tree_unflatten(treedef, specs)
+
+
+def apply_sharding(params: Any, shardings: Any):
+    """Place a (host or differently-sharded) pytree onto the mesh."""
+    return jax.tree.map(jax.device_put, params, shardings)

@@ -1,0 +1,3 @@
+from .noise_schedule import NoiseScheduleVP, interp_with_extrapolation
+from .dpm_solver import DPMSolver
+from .euler_maruyama import euler_maruyama

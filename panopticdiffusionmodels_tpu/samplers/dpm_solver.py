@@ -1,0 +1,600 @@
+"""Mask-aware DPM-Solver / DPM-Solver++ as a single jittable tensor program.
+
+TPU-first re-design of the reference solver (reference `dpm_solver_pp.py:291-1081`
+and the upstream `dpm_solver_pytorch.py`):
+
+  * ALL schedule math (timesteps, lambdas, alphas, sigmas, phi terms, r1/r2) is
+    precomputed on the host in float64 — the device program is a `lax.scan` over
+    stacked float32 coefficient tables, one scan per run of equal-order steps.
+    The reference instead re-evaluates interpolation on device and syncs with the
+    Python loop every step (`dpm_solver_pp.py:1031-1043`);
+  * the (x, pred_mask, mask_t) triple is the scan carry — the joint image+mask
+    trajectory of the panoptic model threads through with zero host round-trips;
+  * the whole sampler (all scans, every model call, and optionally the VAE
+    decode) jits into ONE XLA executable.
+
+Numerics: image-channel updates replicate the reference formulas exactly (same
+phi/sign conventions); the mask channel replicates the reference's published
+behavior including its `mask_s1`/`mask_s2` intermediate sign convention
+(see SURVEY.md §2.3 "mask-stream sign inconsistency"), which we keep because it
+is what generated the paper's results.
+
+Supported methods: 'fast' (mixed-order, recommended), 'singlestep' (uniform
+order), 'multistep' (Adams-style, image only), 'adaptive' (host-driven, image
+only, dynamic NFE).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .noise_schedule import NoiseScheduleVP
+
+
+def _bcast(c, x):
+    """Broadcast a per-step scalar coefficient over an image tensor."""
+    return jnp.asarray(c, dtype=x.dtype)
+
+
+def get_time_steps(ns: NoiseScheduleVP, skip_type: str, t_T: float, t_0: float, N: int):
+    """Host-side step grid (reference `dpm_solver_pp.py:330-363`)."""
+    if skip_type == "logSNR":
+        lambda_T = ns.marginal_lambda(t_T)
+        lambda_0 = ns.marginal_lambda(t_0)
+        logsnr_steps = np.linspace(lambda_T, lambda_0, N + 1)
+        return ns.inverse_lambda(logsnr_steps)
+    if skip_type == "time_uniform":
+        return np.linspace(t_T, t_0, N + 1)
+    if skip_type == "t2":
+        t_order = 2
+        return np.linspace(t_T ** (1.0 / t_order), t_0 ** (1.0 / t_order), N + 1) ** t_order
+    if skip_type == "time_quadratic":
+        t = np.linspace(t_0, t_T, 10_000_000)
+        quadratic_t = np.sqrt(t)
+        quadratic_steps = np.linspace(quadratic_t[0], quadratic_t[-1], N + 1)
+        picked = t[np.searchsorted(quadratic_t, quadratic_steps)[:-1]]
+        return np.concatenate([picked, [t_T]])[::-1].copy()
+    raise ValueError(f"unsupported skip_type {skip_type}")
+
+
+def get_orders_for_fast(steps: int, order: int) -> List[int]:
+    """Mixed-order plan of DPM-Solver-fast (reference `dpm_solver_pp.py:365-405`)."""
+    if order == 3:
+        K = steps // 3 + 1
+        if steps % 3 == 0:
+            return [3] * (K - 2) + [2, 1]
+        if steps % 3 == 1:
+            return [3] * (K - 1) + [1]
+        return [3] * (K - 1) + [2]
+    if order == 2:
+        K = steps // 2
+        return [2] * K if steps % 2 == 0 else [2] * K + [1]
+    raise ValueError("fast method requires order >= 2")
+
+
+@dataclasses.dataclass
+class StepCoeffs:
+    """Float64 host coefficients for one solver step; stacked before scanning."""
+
+    order: int
+    data: dict  # name -> float
+
+
+def _step_coeffs(ns: NoiseScheduleVP, s: float, t: float, order: int,
+                 r1: Optional[float], r2: Optional[float], predict_x0: bool) -> StepCoeffs:
+    lam_s, lam_t = ns.marginal_lambda(s), ns.marginal_lambda(t)
+    h = lam_t - lam_s
+    log_a_s, log_a_t = ns.marginal_log_mean_coeff(s), ns.marginal_log_mean_coeff(t)
+    sig_s, sig_t = ns.marginal_std(s), ns.marginal_std(t)
+    alpha_s, alpha_t = np.exp(log_a_s), np.exp(log_a_t)
+    d = dict(
+        s=s, t=t, h=h,
+        sigma_s=sig_s, sigma_t=sig_t, alpha_s=alpha_s, alpha_t=alpha_t,
+        log_alpha_s=log_a_s, log_alpha_t=log_a_t,
+    )
+    if order >= 2:
+        r1 = 0.5 if (order == 2 and r1 is None) else (1.0 / 3.0 if r1 is None else r1)
+        lam_s1 = lam_s + r1 * h
+        s1 = float(ns.inverse_lambda(lam_s1))
+        d.update(
+            r1=r1, s1=s1,
+            sigma_s1=ns.marginal_std(s1),
+            alpha_s1=np.exp(ns.marginal_log_mean_coeff(s1)),
+            log_alpha_s1=ns.marginal_log_mean_coeff(s1),
+        )
+    if order >= 3:
+        r2 = 2.0 / 3.0 if r2 is None else r2
+        lam_s2 = lam_s + r2 * h
+        s2 = float(ns.inverse_lambda(lam_s2))
+        d.update(
+            r2=r2, s2=s2,
+            sigma_s2=ns.marginal_std(s2),
+            alpha_s2=np.exp(ns.marginal_log_mean_coeff(s2)),
+            log_alpha_s2=ns.marginal_log_mean_coeff(s2),
+        )
+    # phi terms (reference dpm_solver_pp.py:441,524-525,713-718 / their eps-pred duals)
+    if predict_x0:
+        d["phi_1"] = np.expm1(-h)
+        if order >= 2:
+            d["phi_11"] = np.expm1(-r1 * h)
+        if order >= 3:
+            d["phi_12"] = np.expm1(-r2 * h)
+            d["phi_22"] = np.expm1(-r2 * h) / (r2 * h) + 1.0
+            d["phi_2"] = d["phi_1"] / h + 1.0
+            d["phi_3"] = d["phi_2"] / h - 0.5
+    else:
+        d["phi_1"] = np.expm1(h)
+        if order >= 2:
+            d["phi_11"] = np.expm1(r1 * h)
+        if order >= 3:
+            d["phi_12"] = np.expm1(r2 * h)
+            d["phi_22"] = np.expm1(r2 * h) / (r2 * h) - 1.0
+            d["phi_2"] = d["phi_1"] / h - 1.0
+            d["phi_3"] = d["phi_2"] / h - 0.5
+    return StepCoeffs(order=order, data=d)
+
+
+def _stack_coeffs(steps: Sequence[StepCoeffs]) -> dict:
+    keys = steps[0].data.keys()
+    return {k: jnp.asarray([sc.data[k] for sc in steps], dtype=jnp.float32) for k in keys}
+
+
+class DPMSolver:
+    """DPM-Solver(++) with joint image+mask trajectories.
+
+    `model_fn(x, t_vec, mask_token=None) -> noise | (noise, pred_mask)` is the
+    (CFG-wrapped) network in NOISE-prediction convention on continuous time
+    t in (0, 1]; conversion to x0-prediction happens inside using precomputed
+    alpha/sigma (reference `dpm_solver_pp.py:310-328`).
+    """
+
+    def __init__(
+        self,
+        model_fn: Callable,
+        noise_schedule: NoiseScheduleVP,
+        predict_x0: bool = True,
+        thresholding: bool = False,
+        max_val: float = 1.0,
+    ):
+        self.model = model_fn
+        self.ns = noise_schedule
+        self.predict_x0 = predict_x0
+        self.thresholding = thresholding
+        self.max_val = max_val
+
+    # --- device-side pieces -------------------------------------------------
+
+    def _call_model(self, x, t: Any, sigma_t, alpha_t, mask_token):
+        """Call the network; in predict_x0 mode convert noise -> x0 using the
+        host-precomputed (sigma_t, alpha_t) for this model time."""
+        t_vec = jnp.full((x.shape[0],), t, dtype=x.dtype)
+        if mask_token is None:
+            out = self.model(x, t_vec)
+            noise, pred_mask = (out if isinstance(out, tuple) else (out, None))
+        else:
+            noise, pred_mask = self.model(x, t_vec, mask_token=mask_token)
+        if not self.predict_x0:
+            return noise, pred_mask
+        x0 = (x - _bcast(sigma_t, x) * noise) / _bcast(alpha_t, x)
+        if self.thresholding:
+            p = 0.995
+            s = jnp.quantile(
+                jnp.abs(x0).reshape(x0.shape[0], -1), p, axis=1
+            )
+            s = jnp.maximum(s, 1.0).reshape(-1, *([1] * (x0.ndim - 1)))
+            x0 = jnp.clip(x0, -s, s) / (s / self.max_val)
+        return x0, pred_mask
+
+    def _first_update(self, x, c, mask_t, mask_on: bool):
+        """Order-1 step (reference `dpm_solver_pp.py:420-494`)."""
+        noise_s, pred_mask = self._call_model(x, c["s"], c["sigma_s"], c["alpha_s"], mask_t)
+        if self.predict_x0:
+            # phi_1 here is (e^{-h}-1)/(-1) = -expm1(-h) in the reference (:441);
+            # our precomputed phi_1 = expm1(-h), so negate.
+            phi_1 = -c["phi_1"]
+            x_t = _bcast(c["sigma_t"] / c["sigma_s"], x) * x + _bcast(
+                c["alpha_t"] * phi_1, x
+            ) * noise_s
+            if mask_on:
+                mask_next = _bcast(c["sigma_t"] / c["sigma_s"], mask_t) * mask_t + _bcast(
+                    c["alpha_t"] * phi_1, mask_t
+                ) * pred_mask
+            else:
+                mask_next = mask_t
+        else:
+            x_t = (
+                _bcast(jnp.exp(c["log_alpha_t"] - c["log_alpha_s"]), x) * x
+                - _bcast(c["sigma_t"] * c["phi_1"], x) * noise_s
+            )
+            mask_next = mask_t
+        return x_t, pred_mask, mask_next
+
+    def _second_update(self, x, c, mask_t, mask_on: bool):
+        """Order-2 step, 'dpm_solver' type (reference `dpm_solver_pp.py:496-599`)."""
+        noise_s, pred_mask = self._call_model(x, c["s"], c["sigma_s"], c["alpha_s"], mask_t)
+        if self.predict_x0:
+            x_s1 = (
+                _bcast(c["sigma_s1"] / c["sigma_s"], x) * x
+                - _bcast(c["alpha_s1"] * c["phi_11"], x) * noise_s
+            )
+            if mask_on:
+                # NOTE: '+' on the intermediate mask step is the reference's own
+                # convention (`dpm_solver_pp.py:536-539`), opposite the image sign.
+                mask_s1 = (
+                    _bcast(c["sigma_s1"] / c["sigma_s"], mask_t) * mask_t
+                    + _bcast(c["alpha_s1"] * c["phi_11"], mask_t) * pred_mask
+                )
+            else:
+                mask_s1 = mask_t
+            noise_s1, pred_mask_s1 = self._call_model(
+                x_s1, c["s1"], c["sigma_s1"], c["alpha_s1"], mask_s1 if mask_t is not None else None
+            )
+            x_t = (
+                _bcast(c["sigma_t"] / c["sigma_s"], x) * x
+                - _bcast(c["alpha_t"] * c["phi_1"], x) * noise_s
+                - _bcast((0.5 / c["r1"]) * c["alpha_t"] * c["phi_1"], x)
+                * (noise_s1 - noise_s)
+            )
+            if mask_on:
+                mask_next = (
+                    _bcast(c["sigma_t"] / c["sigma_s"], mask_t) * mask_t
+                    - _bcast(c["alpha_t"] * c["phi_1"], mask_t) * pred_mask
+                    - _bcast((0.5 / c["r1"]) * c["alpha_t"] * c["phi_1"], mask_t)
+                    * (pred_mask_s1 - pred_mask)
+                )
+            else:
+                mask_next = mask_t
+        else:
+            x_s1 = (
+                _bcast(jnp.exp(c["log_alpha_s1"] - c["log_alpha_s"]), x) * x
+                - _bcast(c["sigma_s1"] * c["phi_11"], x) * noise_s
+            )
+            noise_s1, _ = self._call_model(
+                x_s1, c["s1"], c["sigma_s1"], c["alpha_s1"], mask_t
+            )
+            x_t = (
+                _bcast(jnp.exp(c["log_alpha_t"] - c["log_alpha_s"]), x) * x
+                - _bcast(c["sigma_t"] * c["phi_1"], x) * noise_s
+                - _bcast((0.5 / c["r1"]) * c["sigma_t"] * c["phi_1"], x)
+                * (noise_s1 - noise_s)
+            )
+            mask_next = mask_t
+        return x_t, pred_mask, mask_next
+
+    def _third_update(self, x, c, mask_t, mask_on: bool):
+        """Order-3 step, 'dpm_solver' type (reference `dpm_solver_pp.py:679-829`)."""
+        noise_s, pred_mask = self._call_model(x, c["s"], c["sigma_s"], c["alpha_s"], mask_t)
+        if self.predict_x0:
+            x_s1 = (
+                _bcast(c["sigma_s1"] / c["sigma_s"], x) * x
+                - _bcast(c["alpha_s1"] * c["phi_11"], x) * noise_s
+            )
+            if mask_on:
+                # Reference sign convention (`dpm_solver_pp.py:730-733`).
+                mask_s1 = (
+                    _bcast(c["sigma_s1"] / c["sigma_s"], mask_t) * mask_t
+                    + _bcast(c["alpha_s1"] * c["phi_11"], mask_t) * pred_mask
+                )
+            else:
+                mask_s1 = mask_t
+            noise_s1, pred_mask_s1 = self._call_model(
+                x_s1, c["s1"], c["sigma_s1"], c["alpha_s1"], mask_s1 if mask_t is not None else None
+            )
+            x_s2 = (
+                _bcast(c["sigma_s2"] / c["sigma_s"], x) * x
+                - _bcast(c["alpha_s2"] * c["phi_12"], x) * noise_s
+                + _bcast((c["r2"] / c["r1"]) * c["alpha_s2"] * c["phi_22"], x)
+                * (noise_s1 - noise_s)
+            )
+            if mask_on:
+                mask_s2 = (
+                    _bcast(c["sigma_s2"] / c["sigma_s"], mask_t) * mask_t
+                    - _bcast(c["alpha_s2"] * c["phi_12"], mask_t) * pred_mask
+                    + _bcast((c["r2"] / c["r1"]) * c["alpha_s2"] * c["phi_22"], mask_t)
+                    * (pred_mask_s1 - pred_mask)
+                )
+            else:
+                mask_s2 = mask_t
+            noise_s2, pred_mask_s2 = self._call_model(
+                x_s2, c["s2"], c["sigma_s2"], c["alpha_s2"], mask_s2 if mask_t is not None else None
+            )
+            x_t = (
+                _bcast(c["sigma_t"] / c["sigma_s"], x) * x
+                - _bcast(c["alpha_t"] * c["phi_1"], x) * noise_s
+                + _bcast((1.0 / c["r2"]) * c["alpha_t"] * c["phi_2"], x)
+                * (noise_s2 - noise_s)
+            )
+            if mask_on:
+                mask_next = (
+                    _bcast(c["sigma_t"] / c["sigma_s"], mask_t) * mask_t
+                    - _bcast(c["alpha_t"] * c["phi_1"], mask_t) * pred_mask
+                    + _bcast((1.0 / c["r2"]) * c["alpha_t"] * c["phi_2"], mask_t)
+                    * (pred_mask_s2 - pred_mask)
+                )
+            else:
+                mask_next = mask_t
+        else:
+            x_s1 = (
+                _bcast(jnp.exp(c["log_alpha_s1"] - c["log_alpha_s"]), x) * x
+                - _bcast(c["sigma_s1"] * c["phi_11"], x) * noise_s
+            )
+            noise_s1, _ = self._call_model(x_s1, c["s1"], c["sigma_s1"], c["alpha_s1"], mask_t)
+            x_s2 = (
+                _bcast(jnp.exp(c["log_alpha_s2"] - c["log_alpha_s"]), x) * x
+                - _bcast(c["sigma_s2"] * c["phi_12"], x) * noise_s
+                - _bcast((c["r2"] / c["r1"]) * c["sigma_s2"] * c["phi_22"], x)
+                * (noise_s1 - noise_s)
+            )
+            noise_s2, _ = self._call_model(x_s2, c["s2"], c["sigma_s2"], c["alpha_s2"], mask_t)
+            x_t = (
+                _bcast(jnp.exp(c["log_alpha_t"] - c["log_alpha_s"]), x) * x
+                - _bcast(c["sigma_t"] * c["phi_1"], x) * noise_s
+                - _bcast((1.0 / c["r2"]) * c["sigma_t"] * c["phi_2"], x)
+                * (noise_s2 - noise_s)
+            )
+            mask_next = mask_t
+        return x_t, pred_mask, mask_next
+
+    _UPDATES = {1: "_first_update", 2: "_second_update", 3: "_third_update"}
+
+    # --- plan building + sampling ------------------------------------------
+
+    def _build_plan(self, steps, order, method, skip_type, t_0, t_T):
+        """Host: list of (order, stacked_coeffs, n_steps) groups of equal order."""
+        if method == "fast":
+            orders = get_orders_for_fast(steps, order)
+            timesteps = get_time_steps(self.ns, skip_type, t_T, t_0, steps)
+            # fast uses per-substep r1/r2 from the fine grid (reference :1032-1035)
+            plan, i = [], 0
+            for o in orders:
+                s, t = timesteps[i], timesteps[i + o]
+                h = self.ns.marginal_lambda(t) - self.ns.marginal_lambda(s)
+                r1 = (
+                    None
+                    if o <= 1
+                    else float(
+                        (self.ns.marginal_lambda(timesteps[i + 1]) - self.ns.marginal_lambda(s)) / h
+                    )
+                )
+                r2 = (
+                    None
+                    if o <= 2
+                    else float(
+                        (self.ns.marginal_lambda(timesteps[i + 2]) - self.ns.marginal_lambda(s)) / h
+                    )
+                )
+                plan.append(_step_coeffs(self.ns, float(s), float(t), o, r1, r2, self.predict_x0))
+                i += o
+        elif method == "singlestep":
+            n_steps = steps // order
+            timesteps = get_time_steps(self.ns, skip_type, t_T, t_0, n_steps)
+            plan = [
+                _step_coeffs(
+                    self.ns, float(timesteps[i]), float(timesteps[i + 1]), order,
+                    None, None, self.predict_x0,
+                )
+                for i in range(n_steps)
+            ]
+        else:
+            raise ValueError(method)
+        # group consecutive equal orders
+        groups: List[Tuple[int, dict, int]] = []
+        run: List[StepCoeffs] = []
+        for sc in plan:
+            if run and sc.order != run[0].order:
+                groups.append((run[0].order, _stack_coeffs(run), len(run)))
+                run = []
+            run.append(sc)
+        if run:
+            groups.append((run[0].order, _stack_coeffs(run), len(run)))
+        return groups
+
+    def sample(
+        self,
+        x,
+        steps: int = 50,
+        eps: float = 1e-4,
+        T: Optional[float] = None,
+        order: int = 3,
+        method: str = "fast",
+        skip_type: str = "time_uniform",
+        mask_token=None,
+        denoise: bool = False,
+    ):
+        """Integrate from t_T to t_0.  Pure function of (x, mask_token): safe to
+        wrap in jax.jit (plan building happens at trace time on host).
+
+        Returns x, or (x, pred_mask) when `mask_token` is given.
+        """
+        t_0 = eps
+        t_T = self.ns.T if T is None else T
+        mask_on = mask_token is not None
+
+        if method == "adaptive":
+            x = self._sample_adaptive(x, order, t_T, t_0)
+            return (x, mask_token) if mask_on else x
+        if method == "multistep":
+            x = self._sample_multistep(x, steps, order, skip_type, t_T, t_0)
+            return (x, mask_token) if mask_on else x
+
+        groups = self._build_plan(steps, order, method, skip_type, t_0, t_T)
+
+        pred_mask = mask_token
+        mask_t = mask_token
+        for group_order, coeffs, n in groups:
+            update = getattr(self, self._UPDATES[group_order])
+
+            if n == 1:
+                c = {k: v[0] for k, v in coeffs.items()}
+                x, pm, mask_t = update(x, c, mask_t, mask_on)
+                if mask_on:
+                    pred_mask = pm
+            else:
+                def body(carry, c, _update=update):
+                    x, pred_mask, mask_t = carry
+                    x, pm, mask_t = _update(x, c, mask_t, mask_on)
+                    if mask_on:
+                        pred_mask = pm
+                    return (x, pred_mask, mask_t), None
+
+                (x, pred_mask, mask_t), _ = jax.lax.scan(
+                    body, (x, pred_mask, mask_t), coeffs
+                )
+
+        if denoise:
+            x = self._denoise(x, t_0)
+        return (x, pred_mask) if mask_on else x
+
+    def _denoise(self, x, s: float):
+        """Final x0 projection (reference `dpm_solver_pp.py:407-418`)."""
+        sig = float(self.ns.marginal_std(s))
+        log_a = float(self.ns.marginal_log_mean_coeff(s))
+        t_vec = jnp.full((x.shape[0],), s, dtype=x.dtype)
+        out = self.model(x, t_vec)
+        noise = out[0] if isinstance(out, tuple) else out
+        return (x - sig * noise) / np.exp(log_a)
+
+    # --- multistep (image-only, reference dpm_solver_pp.py:602-677,995-1017) --
+
+    def _sample_multistep(self, x, steps, order, skip_type, t_T, t_0):
+        assert steps >= order
+        ts = get_time_steps(self.ns, skip_type, t_T, t_0, steps)
+        lam = self.ns.marginal_lambda(ts)
+        log_a = self.ns.marginal_log_mean_coeff(ts)
+        sig = self.ns.marginal_std(ts)
+        alpha = np.exp(log_a)
+
+        def call(x, i):
+            noise, _ = self._call_model(x, float(ts[i]), float(sig[i]), float(alpha[i]), None)
+            return noise
+
+        # Warm-up with increasing orders, then fixed-order updates; the plan is
+        # static so this unrolls at trace time into one XLA program.
+        prev_noise = [call(x, 0)]
+        prev_idx = [0]
+        for init_order in range(1, order):
+            i = init_order
+            x = self._multistep_update(x, prev_noise, prev_idx, i, init_order, ts, lam, log_a, sig, alpha)
+            prev_noise.append(call(x, i))
+            prev_idx.append(i)
+        for step in range(order, steps + 1):
+            x = self._multistep_update(x, prev_noise, prev_idx, step, order, ts, lam, log_a, sig, alpha)
+            prev_noise = prev_noise[1:] + [prev_noise[-1]]
+            prev_idx = prev_idx[1:] + [step]
+            if step < steps:
+                prev_noise[-1] = call(x, step)
+        return x
+
+    def _multistep_update(self, x, prev_noise, prev_idx, i, order, ts, lam, log_a, sig, alpha):
+        t = float(ts[i])
+        if order == 1:
+            c = _step_coeffs(self.ns, float(ts[prev_idx[-1]]), t, 1, None, None, self.predict_x0).data
+            c = {k: jnp.float32(v) for k, v in c.items()}
+            # order-1 multistep reuses the cached model output
+            noise_s = prev_noise[-1]
+            if self.predict_x0:
+                phi_1 = -c["phi_1"]
+                return _bcast(c["sigma_t"] / c["sigma_s"], x) * x + _bcast(
+                    c["alpha_t"] * phi_1, x
+                ) * noise_s
+            return (
+                _bcast(jnp.exp(c["log_alpha_t"] - c["log_alpha_s"]), x) * x
+                - _bcast(c["sigma_t"] * c["phi_1"], x) * noise_s
+            )
+        i0, i1 = prev_idx[-1], prev_idx[-2]
+        h = lam[i] - lam[i0]
+        h_0 = lam[i0] - lam[i1]
+        r0 = h_0 / h
+        D1_0 = (1.0 / r0) * (prev_noise[-1] - prev_noise[-2])
+        if order == 2:
+            if self.predict_x0:
+                return (
+                    _bcast(sig[i] / sig[i0], x) * x
+                    - _bcast(alpha[i] * np.expm1(-h), x) * prev_noise[-1]
+                    - 0.5 * _bcast(alpha[i] * np.expm1(-h), x) * D1_0
+                )
+            return (
+                _bcast(np.exp(log_a[i] - log_a[i0]), x) * x
+                - _bcast(sig[i] * np.expm1(h), x) * prev_noise[-1]
+                - 0.5 * _bcast(sig[i] * np.expm1(h), x) * D1_0
+            )
+        # order 3 (reference dpm_solver_pp.py:645-677)
+        i2 = prev_idx[-3]
+        h_1 = lam[i1] - lam[i2]
+        r1 = h_1 / h
+        D1_1 = (1.0 / r1) * (prev_noise[-2] - prev_noise[-3])
+        D1 = D1_0 + (r0 / (r0 + r1)) * (D1_0 - D1_1)
+        D2 = (1.0 / (r0 + r1)) * (D1_0 - D1_1)
+        if self.predict_x0:
+            return (
+                _bcast(sig[i] / sig[i0], x) * x
+                - _bcast(alpha[i] * np.expm1(-h), x) * prev_noise[-1]
+                + _bcast(alpha[i] * (np.expm1(-h) / h + 1.0), x) * D1
+                - _bcast(alpha[i] * ((np.expm1(-h) + h) / h ** 2 - 0.5), x) * D2
+            )
+        return (
+            _bcast(np.exp(log_a[i] - log_a[i0]), x) * x
+            - _bcast(sig[i] * np.expm1(h), x) * prev_noise[-1]
+            - _bcast(sig[i] * (np.expm1(h) / h - 1.0), x) * D1
+            - _bcast(sig[i] * ((np.expm1(h) - h) / h ** 2 - 0.5), x) * D2
+        )
+
+    # --- adaptive (host loop; dynamic NFE, reference dpm_solver_pp.py:873-925) --
+
+    def _sample_adaptive(self, x, order, t_T, t_0, h_init=0.05, atol=0.0078,
+                         rtol=0.05, theta=0.9, t_err=1e-5):
+        """Adaptive step size solver.  The step size depends on on-device error
+        estimates, so this necessarily round-trips to host each step; each
+        candidate step itself is a jitted fixed-order update."""
+        s = t_T
+        lam_s = float(self.ns.marginal_lambda(s))
+        lam_0 = float(self.ns.marginal_lambda(t_0))
+        h = h_init
+        x_prev = x
+        nfe = 0
+        if order == 2:
+            r1 = 0.5
+            lower = lambda x, s, t: self._run_single(x, s, t, 1)
+            higher = lambda x, s, t: self._run_single(x, s, t, 2, r1=r1)
+        elif order == 3:
+            r1, r2 = 1.0 / 3.0, 2.0 / 3.0
+            lower = lambda x, s, t: self._run_single(x, s, t, 2, r1=r1)
+            higher = lambda x, s, t: self._run_single(x, s, t, 3, r1=r1, r2=r2)
+        else:
+            raise ValueError("adaptive solver order must be 2 or 3")
+        while abs(s - t_0) > t_err:
+            t = float(self.ns.inverse_lambda(np.array(lam_s + h)))
+            x_lower = lower(x, s, t)
+            x_higher = higher(x, s, t)
+            delta = jnp.maximum(
+                atol, rtol * jnp.maximum(jnp.abs(x_lower), jnp.abs(x_prev))
+            )
+            E = float(
+                jnp.max(
+                    jnp.sqrt(
+                        jnp.mean(
+                            jnp.square((x_higher - x_lower) / delta).reshape(x.shape[0], -1),
+                            axis=-1,
+                        )
+                    )
+                )
+            )
+            if E <= 1.0:
+                x = x_higher
+                s = t
+                x_prev = x_lower
+                lam_s = float(self.ns.marginal_lambda(s))
+            h = min(theta * h * max(E, 1e-10) ** (-1.0 / order), lam_0 - lam_s)
+            nfe += order
+        return x
+
+    def _run_single(self, x, s, t, order, r1=None, r2=None):
+        c = _step_coeffs(self.ns, float(s), float(t), order, r1, r2, self.predict_x0).data
+        c = {k: jnp.float32(v) for k, v in c.items()}
+        update = getattr(self, self._UPDATES[order])
+        x_t, _, _ = update(x, c, None, False)
+        return x_t

@@ -1,0 +1,158 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from panopticdiffusionmodels_tpu.diffusion.schedule import stable_diffusion_beta_schedule
+from panopticdiffusionmodels_tpu.samplers.dpm_solver import (
+    DPMSolver,
+    get_orders_for_fast,
+    get_time_steps,
+)
+from panopticdiffusionmodels_tpu.samplers.noise_schedule import NoiseScheduleVP
+
+BETAS = stable_diffusion_beta_schedule()
+
+
+def _ns():
+    return NoiseScheduleVP("discrete", betas=BETAS)
+
+
+def _delta_model(c, ns):
+    """Perfect noise predictor for the delta distribution at x0 = c.
+
+    noise(x, t) = (x - alpha_t c) / sigma_t; for this model every order of
+    DPM-Solver++ is EXACT, so the sampler must land on c up to the t_0 cutoff.
+    """
+    t_knots = np.linspace(0, 1, 10001)
+    alpha_k = jnp.asarray(ns.marginal_alpha(t_knots), dtype=jnp.float32)
+    sigma_k = jnp.asarray(np.maximum(ns.marginal_std(t_knots), 1e-12), dtype=jnp.float32)
+
+    def model(x, t_vec, mask_token=None):
+        # piecewise-constant lookup is fine: t values are exactly on fine grid?
+        # use linear interp on device for the test oracle only
+        a = jnp.interp(t_vec[0], jnp.asarray(t_knots, jnp.float32), alpha_k)
+        s = jnp.interp(t_vec[0], jnp.asarray(t_knots, jnp.float32), sigma_k)
+        noise = (x - a * c) / s
+        if mask_token is None:
+            return noise
+        return noise, jnp.full_like(mask_token, 0.5)  # constant mask x0
+
+    return model
+
+
+
+def _exact_solution(ns, x_T, c, t_T, t_0):
+    """Closed-form flow solution for the delta-at-c model:
+    x(t0) = alpha(t0) c + sigma(t0) * (x_T - alpha(T) c) / sigma(T)."""
+    import numpy as np
+    a0, s0 = float(ns.marginal_alpha(t_0)), float(ns.marginal_std(t_0))
+    aT, sT = float(ns.marginal_alpha(t_T)), float(ns.marginal_std(t_T))
+    return a0 * c + s0 * (np.asarray(x_T) - aT * c) / sT
+
+def test_fast_order_plan():
+    assert get_orders_for_fast(50, 3) == [3] * 16 + [2]
+    assert get_orders_for_fast(51, 3) == [3] * 16 + [2, 1]
+    assert get_orders_for_fast(52, 3) == [3] * 17 + [1]
+    assert sum(get_orders_for_fast(51, 3)) == 51
+    assert sum(get_orders_for_fast(52, 3)) == 52
+    assert get_orders_for_fast(10, 2) == [2] * 5
+    assert get_orders_for_fast(11, 2) == [2] * 5 + [1]
+
+
+def test_time_steps_monotone():
+    ns = _ns()
+    for skip in ["time_uniform", "logSNR", "t2"]:
+        ts = get_time_steps(ns, skip, 1.0, 1e-3, 20)
+        assert len(ts) == 21
+        assert ts[0] == pytest.approx(1.0)
+        assert ts[-1] == pytest.approx(1e-3)
+        assert np.all(np.diff(ts) < 0)
+
+
+@pytest.mark.parametrize("method,order", [("fast", 3), ("singlestep", 1), ("singlestep", 2), ("singlestep", 3)])
+def test_solver_exact_on_delta_model(rng, method, order):
+    ns = _ns()
+    c = 0.7
+    model = _delta_model(c, ns)
+    solver = DPMSolver(model, ns, predict_x0=True)
+    x_T = jax.random.normal(rng, (2, 8, 8, 4))
+    steps = 12
+    x0 = solver.sample(x_T, steps=steps, eps=1.0 / 1000, T=1.0, order=order, method=method)
+    expected = _exact_solution(ns, x_T, c, 1.0, 1.0 / 1000)
+    np.testing.assert_allclose(np.asarray(x0), expected, rtol=0, atol=2e-3)
+
+
+def test_solver_is_jittable_one_program(rng):
+    ns = _ns()
+    model = _delta_model(0.3, ns)
+    solver = DPMSolver(model, ns, predict_x0=True)
+    x_T = jax.random.normal(rng, (1, 4, 4, 4))
+
+    @jax.jit
+    def run(x):
+        return solver.sample(x, steps=9, eps=1e-3, order=3, method="fast")
+
+    out = run(x_T)
+    expected = _exact_solution(ns, x_T, 0.3, 1.0, 1e-3)
+    np.testing.assert_allclose(np.asarray(out), expected, atol=2e-3)
+
+
+def test_mask_trajectory_converges(rng):
+    """The mask carry must converge to the model's constant pred_mask."""
+    ns = _ns()
+    model = _delta_model(0.0, ns)
+    solver = DPMSolver(model, ns, predict_x0=True)
+    x_T = jax.random.normal(rng, (2, 8, 8, 4))
+    mask_T = jax.random.normal(jax.random.fold_in(rng, 1), (2, 16, 16, 8))
+    x0, pred_mask = solver.sample(
+        x_T, steps=12, eps=1e-3, order=1, method="singlestep", mask_token=mask_T
+    )
+    # pred_mask is the model's x0-style output at the final step
+    np.testing.assert_allclose(np.asarray(pred_mask), 0.5, atol=1e-5)
+    expected = _exact_solution(ns, x_T, 0.0, 1.0, 1e-3)
+    np.testing.assert_allclose(np.asarray(x0), expected, atol=2e-3)
+
+
+def test_mask_fast_order3(rng):
+    ns = _ns()
+    model = _delta_model(-0.4, ns)
+    solver = DPMSolver(model, ns, predict_x0=True)
+    x_T = jax.random.normal(rng, (1, 8, 8, 4))
+    mask_T = jax.random.normal(rng, (1, 16, 16, 8))
+    x0, pred_mask = solver.sample(
+        x_T, steps=15, eps=1e-3, order=3, method="fast", mask_token=mask_T
+    )
+    assert pred_mask.shape == mask_T.shape
+    expected = _exact_solution(ns, x_T, -0.4, 1.0, 1e-3)
+    np.testing.assert_allclose(np.asarray(x0), expected, atol=2e-3)
+
+
+def test_multistep_converges(rng):
+    ns = _ns()
+    model = _delta_model(0.5, ns)
+    solver = DPMSolver(model, ns, predict_x0=True)
+    x_T = jax.random.normal(rng, (1, 4, 4, 4))
+    x0 = solver.sample(x_T, steps=10, eps=1e-3, order=2, method="multistep")
+    expected = _exact_solution(ns, x_T, 0.5, 1.0, 1e-3)
+    np.testing.assert_allclose(np.asarray(x0), expected, atol=2e-3)
+
+
+def test_eps_prediction_mode(rng):
+    """predict_x0=False (classic DPM-Solver) also lands on the delta point."""
+    ns = _ns()
+    model = _delta_model(0.2, ns)
+    solver = DPMSolver(model, ns, predict_x0=False)
+    x_T = jax.random.normal(rng, (1, 4, 4, 4))
+    x0 = solver.sample(x_T, steps=12, eps=1e-3, order=3, method="singlestep")
+    expected = _exact_solution(ns, x_T, 0.2, 1.0, 1e-3)
+    np.testing.assert_allclose(np.asarray(x0), expected, atol=5e-3)
+
+
+def test_adaptive_solver(rng):
+    ns = _ns()
+    model = _delta_model(0.1, ns)
+    solver = DPMSolver(model, ns, predict_x0=True)
+    x_T = jax.random.normal(rng, (1, 4, 4, 4))
+    x0 = solver.sample(x_T, eps=1e-3, order=3, method="adaptive")
+    assert abs(float(np.mean(np.asarray(x0))) - 0.1) < 0.05

@@ -1,0 +1,106 @@
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from panopticdiffusionmodels_tpu.train import (
+    TrainState,
+    create_train_state,
+    latest_step,
+    load_checkpoint,
+    make_lr_schedule,
+    make_optimizer,
+    resume,
+    save_checkpoint,
+)
+from panopticdiffusionmodels_tpu.train.state import frozen_mask_from_prefixes
+
+
+def _params(rng):
+    k1, k2 = jax.random.split(rng)
+    return {
+        "image_block": {"kernel": jax.random.normal(k1, (4, 4))},
+        "mask_block": {"kernel": jax.random.normal(k2, (4, 4))},
+    }
+
+
+def test_lr_schedule_warmup():
+    sched = make_lr_schedule(2e-4, "customized", warmup_steps=100)
+    assert float(sched(0)) == 0.0
+    np.testing.assert_allclose(float(sched(50)), 1e-4)
+    np.testing.assert_allclose(float(sched(100)), 2e-4)
+    np.testing.assert_allclose(float(sched(10_000)), 2e-4)
+
+
+def test_train_step_and_ema(rng):
+    params = _params(rng)
+    tx = make_optimizer(lr=0.1, weight_decay=0.0, betas=(0.9, 0.999))
+    state = create_train_state(params, tx)
+
+    grads = jax.tree.map(jnp.ones_like, params)
+    new_state = state.apply_gradients(grads, ema_rate=0.5)
+    assert int(new_state.step) == 1
+    # params moved against the gradient
+    assert float(jnp.sum(new_state.params["image_block"]["kernel"])) < float(
+        jnp.sum(params["image_block"]["kernel"])
+    )
+    # EMA is halfway between old and new at rate 0.5
+    expect = 0.5 * params["image_block"]["kernel"] + 0.5 * new_state.params["image_block"]["kernel"]
+    np.testing.assert_allclose(
+        np.asarray(new_state.ema_params["image_block"]["kernel"]),
+        np.asarray(expect),
+        rtol=1e-6,
+    )
+
+
+def test_frozen_mask(rng):
+    params = _params(rng)
+    mask = frozen_mask_from_prefixes(params, ["image_block"])
+    assert mask["image_block"]["kernel"] is True
+    assert mask["mask_block"]["kernel"] is False
+
+    tx = make_optimizer(lr=0.1, weight_decay=0.0, frozen_mask=mask)
+    state = create_train_state(params, tx)
+    grads = jax.tree.map(jnp.ones_like, params)
+    new_state = state.apply_gradients(grads, ema_rate=0.0)
+    np.testing.assert_array_equal(
+        np.asarray(new_state.params["image_block"]["kernel"]),
+        np.asarray(params["image_block"]["kernel"]),
+    )
+    assert not np.allclose(
+        np.asarray(new_state.params["mask_block"]["kernel"]),
+        np.asarray(params["mask_block"]["kernel"]),
+    )
+
+
+def test_checkpoint_roundtrip(rng, tmp_path):
+    params = _params(rng)
+    tx = make_optimizer(lr=0.1)
+    state = create_train_state(params, tx)
+    grads = jax.tree.map(jnp.ones_like, params)
+    state = state.apply_gradients(grads)
+
+    root = str(tmp_path / "ckpts")
+    save_checkpoint(root, state)  # step 1
+    state2 = state.apply_gradients(grads)  # step 2
+    save_checkpoint(root, state2)
+    assert latest_step(root) == 2
+
+    fresh = create_train_state(_params(jax.random.PRNGKey(9)), tx)
+    restored, ok = resume(root, fresh)
+    assert ok and int(restored.step) == 2
+    np.testing.assert_allclose(
+        np.asarray(restored.params["mask_block"]["kernel"]),
+        np.asarray(state2.params["mask_block"]["kernel"]),
+        rtol=1e-6,
+    )
+
+
+def test_resume_empty_dir(rng, tmp_path):
+    params = _params(rng)
+    state = create_train_state(params, make_optimizer())
+    restored, ok = resume(str(tmp_path / "nonexistent"), state)
+    assert not ok
