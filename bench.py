@@ -1,0 +1,115 @@
+#!/usr/bin/env python
+"""Headline benchmark: ImageNet-256 U-ViT-L/2 50-step DPM-Solver++ sampling.
+
+Protocol (BASELINE.md): 50-NFE order-3 DPM-Solver-fast with classifier-free
+guidance (CFG scale 0.4, null class 1000) and the SD KL-VAE decode — the exact
+configuration of the reference's published ImageNet-256 FID protocol
+(reference `configs/imagenet256_uvit_large.py`, `train_ldm_discrete.py`).
+Weights are randomly initialized (throughput is weight-independent).
+
+The whole pipeline — fused 2x-batch CFG forward, all solver steps, VAE decode —
+compiles into ONE XLA program; the reference instead runs a Python loop with two
+network calls per NFE (`dpm_solver_pp.py:1031-1043`).
+
+vs_baseline: measured images/sec/chip divided by an estimated A100 reference
+throughput for the same protocol.  The reference publishes no speed numbers
+(SURVEY.md par.6), so the denominator is a compute-model estimate, documented
+here: U-ViT-L/2 is ~287M params, ~159 GFLOPs/forward at 258 tokens; 100 forwards
++ VAE decode is ~17.4 TFLOPs/image; PyTorch eager fp16 sampling on A100 (312
+TFLOP/s peak) at a typical 20-30%% MFU gives ~4 img/s.  A100_BASELINE_EST = 4.0.
+
+Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+import json
+import os
+import time
+
+A100_BASELINE_EST = 4.0  # img/s/chip, see module docstring
+
+os.environ.setdefault("JAX_PLATFORMS", os.environ.get("JAX_PLATFORMS", ""))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def build_pipeline(batch_size: int):
+    from panopticdiffusionmodels_tpu.diffusion import (
+        Schedule,
+        stable_diffusion_beta_schedule,
+    )
+    from panopticdiffusionmodels_tpu.diffusion.cfg import make_cfg_class_cond
+    from panopticdiffusionmodels_tpu.models import UViT
+    from panopticdiffusionmodels_tpu.models.vae import get_model as get_vae
+    from panopticdiffusionmodels_tpu.samplers import DPMSolver, NoiseScheduleVP
+
+    model = UViT(
+        img_size=32, patch_size=2, in_chans=4, embed_dim=1024, depth=20,
+        num_heads=16, num_classes=1001, dtype=jnp.bfloat16,
+    )
+    key = jax.random.PRNGKey(0)
+    params = model.init(
+        key, jnp.zeros((1, 32, 32, 4)), jnp.zeros((1,)), jnp.zeros((1,), jnp.int32)
+    )
+    vae = get_vae(dtype=jnp.bfloat16)
+    vae_params = vae.init(
+        jax.random.PRNGKey(1), jnp.zeros((1, 32, 32, 4)), method="decode"
+    )
+
+    betas = stable_diffusion_beta_schedule()
+    schedule = Schedule(betas)
+    ns = NoiseScheduleVP("discrete", betas=betas)
+    cfg_fn = make_cfg_class_cond(
+        lambda xx, tt, yy: model.apply(params, xx, tt, yy),
+        null_label=1000, scale=0.4, enabled=True,
+    )
+
+    @jax.jit
+    def pipeline(key, y):
+        solver = DPMSolver(
+            lambda xx, tt, mask_token=None: cfg_fn(xx, tt * schedule.N, y),
+            ns, predict_x0=True,
+        )
+        z = jax.random.normal(key, (batch_size, 32, 32, 4))
+        z0 = solver.sample(z, steps=50, eps=1.0 / 1000, T=1.0, order=3, method="fast")
+        img = vae.apply(vae_params, z0, method="decode")
+        return img
+
+    return pipeline
+
+
+def main():
+    devices = jax.devices()
+    batch_size = int(os.environ.get("BENCH_BATCH", "16"))
+    reps = int(os.environ.get("BENCH_REPS", "3"))
+    pipeline = build_pipeline(batch_size)
+    key = jax.random.PRNGKey(42)
+    y = jnp.zeros((batch_size,), jnp.int32)
+
+    # warmup / compile
+    img = pipeline(key, y)
+    img.block_until_ready()
+
+    times = []
+    for i in range(reps):
+        k = jax.random.fold_in(key, i)
+        t0 = time.perf_counter()
+        img = pipeline(k, y)
+        img.block_until_ready()
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+    imgs_per_sec = batch_size / best
+    print(
+        json.dumps(
+            {
+                "metric": "imagenet256_uvitL_50step_dpmpp_cfg_images_per_sec_per_chip",
+                "value": round(imgs_per_sec, 3),
+                "unit": "images/sec",
+                "vs_baseline": round(imgs_per_sec / A100_BASELINE_EST, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

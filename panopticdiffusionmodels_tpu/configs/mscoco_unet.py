@@ -1,0 +1,23 @@
+"""MS-COCO panoptic with a pretrained UNet backbone (reference configs/mscoco_unet.py).
+
+The reference's `use_unet=True` path depends on a privately patched diffusers
+(`unet.add_mask_stream()` does not exist upstream — SURVEY.md §2 item 19); this
+config is accepted for parity but `use_unet` maps to the uvit_t2i backbone until
+a UNet family lands.  Tracked as an explicit capability gap."""
+from .base import adamw, autoencoder_block, base_config, d, sample_block, train_block, uvit_t2i, warmup
+
+
+def get_config():
+    config = base_config()
+    config.z_shape = (32, 32, 4)
+    config.autoencoder = autoencoder_block(scale_factor=0.18215)
+    config.train = train_block(1000000, 8, log_interval=20)
+    config.optimizer = adamw(2e-4, 0.03, (0.9, 0.9))
+    config.lr_scheduler = warmup(5000)
+    config.nnet = uvit_t2i(img_size=32, patch_size=2, embed_dim=512, depth=12, num_heads=8,
+                           enable_panoptic=True, separate=True, mask_size=64)
+    config.dataset = d(name="mscoco256_features", path="assets/datasets/coco256_sd_features",
+                       cfg=True, p_uncond=0.1)
+    config.sample = sample_block(50, 30000, 4, algorithm="dpm_solver", cfg=True, scale=1.0)
+    config.use_unet = True
+    return config

@@ -1,0 +1,19 @@
+"""MS-COCO 512 panoptic with a pretrained UNet backbone
+(reference configs/mscoco_unet_512.py; see mscoco_unet.py note on use_unet)."""
+from .base import adamw, autoencoder_block, base_config, d, sample_block, train_block, uvit_t2i, warmup
+
+
+def get_config():
+    config = base_config()
+    config.z_shape = (64, 64, 4)
+    config.autoencoder = autoencoder_block(scale_factor=0.18215)
+    config.train = train_block(1000000, 1, log_interval=20)
+    config.optimizer = adamw(2e-4, 0.03, (0.9, 0.9))
+    config.lr_scheduler = warmup(5000)
+    config.nnet = uvit_t2i(img_size=64, patch_size=2, embed_dim=512, depth=12, num_heads=8,
+                           enable_panoptic=True, separate=True, mask_size=128)
+    config.dataset = d(name="mscoco256_features", path="assets/datasets/coco512_sd_features",
+                       cfg=True, p_uncond=0.1)
+    config.sample = sample_block(30, 30000, 1, algorithm="dpm_solver", cfg=True, scale=1.0)
+    config.use_unet = True
+    return config

@@ -1,0 +1,17 @@
+"""MS-COCO U-ViT-M/2 t2i config (no panoptic stream; reference configs/mscoco_uvit_mid.py)."""
+from .base import adamw, autoencoder_block, base_config, d, sample_block, train_block, uvit_t2i, warmup
+
+
+def get_config():
+    config = base_config()
+    config.z_shape = (32, 32, 4)
+    config.autoencoder = autoencoder_block(scale_factor=0.23010)
+    config.train = train_block(1000000, 32, log_interval=20)
+    config.optimizer = adamw(2e-4, 0.03, (0.9, 0.9))
+    config.lr_scheduler = warmup(5000)
+    config.nnet = uvit_t2i(img_size=32, patch_size=2, embed_dim=768, depth=16, num_heads=12,
+                           enable_panoptic=False, separate=False)
+    config.dataset = d(name="mscoco256_features", path="assets/datasets/coco256_features",
+                       cfg=True, p_uncond=0.1)
+    config.sample = sample_block(50, 30000, 32, algorithm="dpm_solver", cfg=True, scale=1.0)
+    return config

@@ -249,20 +249,24 @@ class CelebA(DatasetFactory):
 
 
 class FeatureDataset:
-    """ImageNet latent features `{i}.npy` (z, label) pairs
-    (reference `datasets.py:187-250`).  Stored z is CHW; returned HWC."""
+    """ImageNet latent-moment features: each `{i}.npy` pickles a (moments, label)
+    pair, flip-augmented to 2x the raw image count (reference
+    `datasets.py:187-198`).  Stored moments are CHW; returned HWC."""
 
-    def __init__(self, path: str):
+    def __init__(self, path: str, n: Optional[int] = None):
         self.path = path
-        names = [n for n in os.listdir(path) if n.endswith(".npy")]
-        self.n = len(names) // 2  # z and label per sample
+        if n is None:
+            n = len([name for name in os.listdir(path) if name.endswith(".npy")])
+        self.n = n
 
     def __len__(self):
         return self.n
 
     def __getitem__(self, idx):
-        z = np.load(os.path.join(self.path, f"{idx}.npy"))
-        label = np.load(os.path.join(self.path, f"{idx}_label.npy"))
+        z, label = np.load(
+            os.path.join(self.path, f"{idx}.npy"), allow_pickle=True
+        )
+        z = np.asarray(z, dtype=np.float32)
         return np.ascontiguousarray(z.transpose(1, 2, 0)), int(label)
 
 

@@ -1,0 +1,72 @@
+"""Classifier-free guidance wrappers.
+
+TPU-first design note: the reference runs TWO network forwards per NFE (cond +
+uncond, reference `train_t2i_discrete.py:387-439`); here both are batched into
+ONE forward on a 2x batch — better MXU utilization, identical math.  The mask
+prediction is extrapolated exactly like the reference
+(`pred_mask + scale * (pred_mask - pred_mask_u)`, `train_t2i_discrete.py:429`).
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, Optional
+
+import jax.numpy as jnp
+
+
+def make_cfg_t2i(
+    apply_fn: Callable,
+    empty_context,
+    scale: float,
+    enabled: bool = True,
+):
+    """CFG wrapper for the t2i / panoptic model.
+
+    apply_fn(x, t, context, mask_token=None) -> noise | (noise, pred_mask).
+    Returns cfg_fn(x, t, context, mask_token=None) with the same contract.
+    """
+    empty_context = jnp.asarray(empty_context)
+
+    def cfg_fn(x, t, context, mask_token=None):
+        if not enabled or scale == 0.0:
+            return apply_fn(x, t, context, mask_token=mask_token)
+        b = x.shape[0]
+        ctx_u = jnp.broadcast_to(empty_context, (b, *empty_context.shape[-2:]))
+        x2 = jnp.concatenate([x, x])
+        t2 = jnp.concatenate([t, t])
+        ctx2 = jnp.concatenate([context, ctx_u.astype(context.dtype)])
+        if mask_token is None:
+            out = apply_fn(x2, t2, ctx2)
+            cond, uncond = jnp.split(out, 2)
+            return cond + scale * (cond - uncond)
+        m2 = jnp.concatenate([mask_token, mask_token])
+        noise, pred_mask = apply_fn(x2, t2, ctx2, mask_token=m2)
+        n_c, n_u = jnp.split(noise, 2)
+        m_c, m_u = jnp.split(pred_mask, 2)
+        return n_c + scale * (n_c - n_u), m_c + scale * (m_c - m_u)
+
+    return cfg_fn
+
+
+def make_cfg_class_cond(
+    apply_fn: Callable,
+    null_label: int,
+    scale: float,
+    enabled: bool = True,
+):
+    """CFG for class-conditional models: label K is the null class
+    (reference `eval.py:43-46`, `eval_ldm_discrete.py` analogue)."""
+
+    def cfg_fn(x, t, y):
+        if not enabled or scale == 0.0:
+            return apply_fn(x, t, y)
+        b = x.shape[0]
+        y_u = jnp.full((b,), null_label, dtype=y.dtype)
+        out = apply_fn(
+            jnp.concatenate([x, x]),
+            jnp.concatenate([t, t]),
+            jnp.concatenate([y, y_u]),
+        )
+        cond, uncond = jnp.split(out, 2)
+        return cond + scale * (cond - uncond)
+
+    return cfg_fn

@@ -1,0 +1,132 @@
+"""FID: Frechet distance, activation statistics, and stat-file handling.
+
+The math follows pytorch-fid exactly (reference `tools/fid_score.py:149-211`):
+FID = |mu1 - mu2|^2 + tr(S1 + S2 - 2 sqrt(S1 S2)), with the same eps-jitter
+fallback for near-singular covariances.  Accepts the reference's pre-computed
+`.npz` stat files (keys 'mu'/'sigma') unchanged, so published FID protocols
+reproduce bit-for-bit on the statistics side.
+
+The activation extractor is the FID-specific InceptionV3 in `inception.py`
+(jitted, bf16-capable, batched on device).
+"""
+from __future__ import annotations
+
+import os
+from typing import Callable, Iterable, Optional, Tuple
+
+import numpy as np
+from scipy import linalg
+
+
+def frechet_distance(mu1, sigma1, mu2, sigma2, eps: float = 1e-6) -> float:
+    """reference `tools/fid_score.py:149-199` (numpy/scipy semantics identical)."""
+    mu1 = np.atleast_1d(mu1)
+    mu2 = np.atleast_1d(mu2)
+    sigma1 = np.atleast_2d(sigma1)
+    sigma2 = np.atleast_2d(sigma2)
+    assert mu1.shape == mu2.shape and sigma1.shape == sigma2.shape
+
+    diff = mu1 - mu2
+
+    def _sqrtm(m):
+        out = linalg.sqrtm(m)
+        return out[0] if isinstance(out, tuple) else out
+
+    covmean = _sqrtm(sigma1.dot(sigma2))
+    if not np.isfinite(covmean).all():
+        offset = np.eye(sigma1.shape[0]) * eps
+        covmean = _sqrtm((sigma1 + offset).dot(sigma2 + offset))
+    if np.iscomplexobj(covmean):
+        if not np.allclose(np.diagonal(covmean).imag, 0, atol=1e-3):
+            m = np.max(np.abs(covmean.imag))
+            raise ValueError(f"Imaginary component {m}")
+        covmean = covmean.real
+    tr_covmean = np.trace(covmean)
+    return float(diff.dot(diff) + np.trace(sigma1) + np.trace(sigma2) - 2 * tr_covmean)
+
+
+def compute_statistics(activations: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """(N, D) activations -> (mu, sigma) (reference `tools/fid_score.py:202-236`)."""
+    mu = np.mean(activations, axis=0)
+    sigma = np.cov(activations, rowvar=False)
+    return mu, sigma
+
+
+def load_stats(path: str) -> Tuple[np.ndarray, np.ndarray]:
+    """Read a reference-format stats npz (keys mu/sigma,
+    reference `tools/fid_score.py:218-221`)."""
+    with np.load(path) as f:
+        return f["mu"][:], f["sigma"][:]
+
+
+def save_stats(path: str, mu: np.ndarray, sigma: np.ndarray):
+    np.savez(path, mu=mu, sigma=sigma)
+
+
+def fid_from_stats(stat_a, stat_b) -> float:
+    """stat_*: either (mu, sigma) tuples or paths to npz files."""
+    if isinstance(stat_a, (str, os.PathLike)):
+        stat_a = load_stats(stat_a)
+    if isinstance(stat_b, (str, os.PathLike)):
+        stat_b = load_stats(stat_b)
+    return frechet_distance(stat_a[0], stat_a[1], stat_b[0], stat_b[1])
+
+
+def activations_from_images(
+    images: Iterable[np.ndarray],
+    extractor: Callable[[np.ndarray], np.ndarray],
+) -> np.ndarray:
+    """Run the (jitted) pool3 extractor over batches of [0,1] NHWC images."""
+    feats = [np.asarray(extractor(batch)) for batch in images]
+    return np.concatenate(feats, axis=0)
+
+
+def fid_given_samples(
+    samples: np.ndarray,
+    ref_stat_path: str,
+    extractor: Callable[[np.ndarray], np.ndarray],
+    batch_size: int = 50,
+) -> float:
+    """FID of [0,1] NHWC samples vs. a reference stats npz — the in-training FID
+    gate (reference `train.py:142`, `tools/fid_score.py:239-260`)."""
+    batches = [
+        samples[i : i + batch_size] for i in range(0, len(samples), batch_size)
+    ]
+    acts = activations_from_images(batches, extractor)
+    mu, sigma = compute_statistics(acts)
+    return fid_from_stats((mu, sigma), ref_stat_path)
+
+
+def fid_given_paths(
+    path_a: str,
+    path_b: str,
+    extractor: Callable[[np.ndarray], np.ndarray],
+    batch_size: int = 50,
+) -> float:
+    """FID between two stat-files/image-dirs (reference `tools/fid_score.py:239-260`).
+    A path ending in .npz is read as precomputed statistics."""
+
+    def stats_for(path):
+        if path.endswith(".npz"):
+            return load_stats(path)
+        from PIL import Image
+
+        names = sorted(
+            n for n in os.listdir(path)
+            if n.lower().endswith((".png", ".jpg", ".jpeg"))
+        )
+        imgs = []
+        feats = []
+        for n in names:
+            img = np.asarray(Image.open(os.path.join(path, n)).convert("RGB"))
+            imgs.append(img.astype(np.float32) / 255.0)
+            if len(imgs) == batch_size:
+                feats.append(np.asarray(extractor(np.stack(imgs))))
+                imgs = []
+        if imgs:
+            feats.append(np.asarray(extractor(np.stack(imgs))))
+        return compute_statistics(np.concatenate(feats, axis=0))
+
+    a = stats_for(path_a)
+    b = stats_for(path_b)
+    return frechet_distance(a[0], a[1], b[0], b[1])

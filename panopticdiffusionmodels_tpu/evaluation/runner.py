@@ -1,0 +1,171 @@
+"""Evaluation / sampling drivers behind `eval.py` and `sample.py`.
+
+Covers the reference's standalone eval scripts (`eval.py`, `eval_ldm*.py`,
+`eval_t2i_discrete.py`, `sample_t2i_discrete.py`): load a checkpoint (orbax or
+reference-format .pth via the torch bridge), generate `config.sample.n_samples`
+with the configured solver, write PNGs with the FID/CLIP naming contract and
+compute FID when reference stats + Inception weights are present.
+"""
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+import numpy as np
+from absl import logging
+
+from ..data import Loader
+from ..diffusion.math import mos
+from ..diffusion.analog_bits import ints_to_analog
+from ..train import checkpoint as ckpt_lib
+from ..train.trainer import Trainer
+from .fid import fid_given_paths
+from .sampler_io import sample2dir
+
+INCEPTION_WEIGHTS = "assets/fid_stats/pt_inception-2015-12-05.pth"
+
+
+def _load_weights(trainer: Trainer, config):
+    nnet_path = config.get("nnet_path", "")
+    if nnet_path and os.path.exists(nnet_path):
+        if nnet_path.endswith(".pth"):
+            from ..utils.torch_bridge import (
+                convert_uvit,
+                convert_uvit_t2i,
+                load_torch_state_dict,
+            )
+
+            sd = load_torch_state_dict(nnet_path)
+            if config.nnet.name == "uvit_t2i":
+                loaded = convert_uvit_t2i(
+                    sd, depth=config.nnet.depth,
+                    mlp_time_embed=config.nnet.mlp_time_embed,
+                )
+            else:
+                loaded = convert_uvit(
+                    sd, depth=config.nnet.depth,
+                    mlp_time_embed=config.nnet.mlp_time_embed,
+                    num_classes=config.nnet.get("num_classes", -1),
+                )
+            from ..train.trainer import _merge_params
+
+            trainer.state = trainer.state.replace(
+                ema_params=_merge_params(trainer.state.ema_params, loaded)
+            )
+            logging.info(f"loaded reference weights {nnet_path}")
+            return
+        state, ok = ckpt_lib.resume(os.path.dirname(nnet_path), trainer.state)
+        if ok:
+            trainer.state = state
+            return
+    trainer.resume()
+
+
+def _context_stream(trainer: Trainer, batch_size: int):
+    """Cycle deterministic test contexts (+ panoptic + index) for sampling."""
+    test = trainer.dataset.get_split("test", labeled=True)
+    loader = Loader(test, batch_size=batch_size, shuffle=False, num_workers=4)
+    while True:
+        yield from loader.epoch()
+
+
+def make_eval_sample_fn(trainer: Trainer, sample_steps: int, batch_size: int):
+    """Returns sample_fn(batch_size) with the sample2dir contract."""
+    config = trainer.config
+    task = trainer.task
+    jit_sample = jax.jit(trainer.build_sample_fn(sample_steps))
+    key_holder = {"key": jax.random.PRNGKey(config.seed + 777)}
+
+    def next_key():
+        key_holder["key"], k = jax.random.split(key_holder["key"])
+        return k
+
+    if task == "t2i_discrete":
+        ctx_stream = _context_stream(trainer, batch_size)
+        panoptic_on = bool(config.nnet.enable_panoptic)
+        counter = {"n": 0}
+
+        def sample_fn(n):
+            batch = next(ctx_stream)
+            fallback_index = np.arange(counter["n"], counter["n"] + n)
+            counter["n"] += n
+            if len(batch) >= 4:
+                moments, context, panoptic, index = batch[:4]
+            elif len(batch) == 3:
+                moments, context, panoptic = batch
+                index = fallback_index
+            else:
+                moments, context = batch[:2]
+                panoptic, index = None, fallback_index
+            samples_out = jit_sample(next_key(), jax.numpy.asarray(context))
+            if panoptic_on:
+                samples, pred_mask = samples_out
+                if panoptic is not None:
+                    target = ints_to_analog(
+                        jax.numpy.asarray(panoptic), n=config.nnet.mask_bits
+                    )
+                    loss_mask = np.asarray(mos(target - pred_mask)).mean()
+                else:
+                    loss_mask = np.nan
+                return np.asarray(index), samples, pred_mask, loss_mask, panoptic
+            return np.asarray(index), samples_out
+
+        return sample_fn, panoptic_on
+
+    if task == "latent_discrete" or (
+        task in ("pixel_sde", "latent_sde") and config.train.get("mode") == "cond"
+    ):
+        n_classes = 1000
+
+        def sample_fn(n):
+            y = jax.random.randint(next_key(), (n,), 0, n_classes)
+            samples = jit_sample(next_key(), y)
+            return np.arange(n), samples
+
+        return sample_fn, False
+
+    def sample_fn(n):
+        samples = jit_sample(next_key(), None, n)
+        return np.arange(n), samples
+
+    return sample_fn, False
+
+
+def evaluate(config, workdir: str, n_samples: Optional[int] = None):
+    trainer = Trainer(config, workdir)
+    _load_weights(trainer, config)
+    sample_dir = os.path.join(workdir, "samples")
+    mask_dir = os.path.join(workdir, "mask")
+    n = n_samples or config.sample.n_samples
+    bs = config.sample.mini_batch_size
+    sample_fn, use_panoptic = make_eval_sample_fn(trainer, config.sample.sample_steps, bs)
+    metrics = sample2dir(
+        sample_dir, n, bs, sample_fn,
+        unpreprocess_fn=trainer.dataset.unpreprocess,
+        use_panoptic=use_panoptic,
+        mask_path=mask_dir,
+        mask_bits=config.nnet.get("mask_bits", 8),
+    )
+    fid = None
+    fid_stat = trainer.dataset.fid_stat
+    if (
+        jax.process_index() == 0
+        and fid_stat
+        and os.path.exists(fid_stat)
+        and os.path.exists(INCEPTION_WEIGHTS)
+    ):
+        from .inception import load_torch_inception_weights, make_extractor
+
+        extractor = make_extractor(load_torch_inception_weights(INCEPTION_WEIGHTS))
+        fid = fid_given_paths(fid_stat, sample_dir, extractor)
+        metrics["fid"] = fid
+        logging.info(f"FID{n}: {fid}")
+        with open(os.path.join(workdir, "eval.log"), "a") as f:
+            print(f"fid{n}={fid} {metrics}", file=f)
+    logging.info(f"eval metrics: {metrics}")
+    return metrics
+
+
+def sample_only(config, workdir: str):
+    return evaluate(config, workdir, n_samples=config.sample.mini_batch_size)

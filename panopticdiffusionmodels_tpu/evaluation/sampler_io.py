@@ -1,0 +1,88 @@
+"""Distributed sample writer: generate -> gather -> rank-0 PNG writes.
+
+Mirrors the reference `sample2dir` contract (reference `utils.py:561-640`):
+amortized batching, the `idx + 10000*(idx//4992)` filename scheme that pairs
+samples with the 5-captions-per-image CLIP-score protocol, analog-bit decoding
+and colorized mask PNGs, and the mask-quality running metrics.
+
+Under pjit the sampler already returns GLOBAL arrays; fetching to host is the
+only "gather" needed (the reference calls accelerator.gather explicitly,
+`utils.py:585-588`).
+"""
+from __future__ import annotations
+
+import os
+from typing import Callable, Optional
+
+import jax
+import numpy as np
+
+from ..diffusion.analog_bits import bits2int
+from ..utils import amortize
+from .mask_metrics import color_map, eval_mask_cnt, get_colormap
+
+
+def _save_png(arr01: np.ndarray, path: str):
+    from PIL import Image
+
+    arr = np.clip(arr01 * 255.0 + 0.5, 0, 255).astype(np.uint8)
+    Image.fromarray(arr).save(path)
+
+
+def sample2dir(
+    path: str,
+    n_samples: int,
+    batch_size: int,
+    sample_fn: Callable,
+    unpreprocess_fn: Optional[Callable] = None,
+    use_panoptic: bool = False,
+    mask_path: Optional[str] = None,
+    mask_bits: int = 8,
+    verbose: bool = True,
+):
+    """sample_fn(batch_size) -> (indices, images[, pred_mask, loss_mask, panoptic]).
+
+    Images in [-1,1] (unpreprocess maps to [0,1]); pred_mask are analog bits
+    (B, H, W, mask_bits).  Returns dict of mask metrics when use_panoptic.
+    """
+    is_main = jax.process_index() == 0
+    if is_main:
+        os.makedirs(path, exist_ok=True)
+        if use_panoptic and mask_path:
+            os.makedirs(mask_path, exist_ok=True)
+    colormap = get_colormap()
+    idx = 0
+    loss_mask_all, cnt_diff_all = [], []
+    for _batch_size in amortize(n_samples, batch_size):
+        out = sample_fn(batch_size)
+        if use_panoptic:
+            sample_idx, samples, pred_mask, loss_mask, panoptic = out
+            loss_mask_all.append(float(np.mean(np.asarray(loss_mask))))
+        else:
+            sample_idx, samples = out
+        samples = np.asarray(samples)[:_batch_size]
+        if unpreprocess_fn is not None:
+            samples = unpreprocess_fn(samples)
+        if is_main:
+            if use_panoptic:
+                ids = np.asarray(bits2int(np.asarray(pred_mask) > 0, n=mask_bits))
+                if panoptic is not None:
+                    cnt_diff_all.append(eval_mask_cnt(ids, np.asarray(panoptic)))
+                colors = color_map(ids, colormap)
+            for i, sample in enumerate(samples):
+                # 5-caption pairing contract (reference utils.py:631-636)
+                name = f"{int(sample_idx[i]) + 10000 * (idx // 4992)}.png"
+                _save_png(sample, os.path.join(path, name))
+                if use_panoptic and mask_path:
+                    from PIL import Image
+
+                    Image.fromarray(colors[i].astype(np.uint8)).save(
+                        os.path.join(mask_path, name)
+                    )
+                idx += 1
+    metrics = {}
+    if use_panoptic and loss_mask_all:
+        metrics["eval_loss_mask"] = float(np.mean(loss_mask_all))
+        if cnt_diff_all:
+            metrics["eval_cnt_mask_diff"] = float(np.mean(cnt_diff_all))
+    return metrics

@@ -1,0 +1,477 @@
+"""The unified training/evaluation engine.
+
+One engine replaces the reference's four copy-pasted per-script loops
+(`train.py`, `train_ldm.py`, `train_ldm_discrete.py`, `train_t2i_discrete.py`);
+the config selects the task:
+
+  * 'pixel_sde'      — images, continuous VP-SDE loss, EM/continuous-DPM sampling
+                       (reference `train.py`),
+  * 'latent_sde'     — pre-encoded moments -> VAE reparam draw, continuous loss
+                       (reference `train_ldm.py`),
+  * 'latent_discrete'— moments + labels, discrete SD schedule, class-cond CFG
+                       (reference `train_ldm_discrete.py`),
+  * 't2i_discrete'   — moments + CLIP context [+ panoptic mask], joint loss and
+                       mask-aware solver (reference `train_t2i_discrete.py`).
+
+TPU architecture (vs. the reference's DDP loops):
+  * ONE jitted `train_step(state, batch, key) -> (state, metrics)` with state
+    donation; gradient reduction across the mesh comes out of XLA's partitioner,
+  * the eval sampler (CFG forward fused 2x-batch, all solver steps, the VAE
+    decode) compiles into a single XLA program — no per-NFE host sync,
+  * EMA params are the sampling weights, updated inside the train step,
+  * per-host data loading: each process feeds its addressable shards.
+"""
+from __future__ import annotations
+
+import os
+import time
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from absl import logging
+
+from ..data import Loader, get_dataset, prefetch_to_device
+from ..diffusion import (
+    Schedule,
+    VPSDE,
+    ScoreModel,
+    ReverseSDE,
+    ODE,
+    l_simple_continuous,
+    l_simple,
+    l_simple_panoptic,
+    stable_diffusion_beta_schedule,
+)
+from ..diffusion.analog_bits import ints_to_analog
+from ..diffusion.cfg import make_cfg_class_cond, make_cfg_t2i
+from ..models import get_nnet
+from ..models.vae import get_model as get_vae, sample_from_moments
+from ..parallel import batch_sharding, make_mesh, replicated_sharding, shard_params_rules
+from ..samplers import DPMSolver, NoiseScheduleVP, euler_maruyama
+from ..utils import cnt_params, dct2str
+from . import checkpoint as ckpt_lib
+from .state import (
+    TrainState,
+    create_train_state,
+    frozen_mask_from_prefixes,
+    make_lr_schedule,
+    make_optimizer,
+)
+
+# Frozen image-stream modules when fine-tuning from a pretrained t2i model
+# (reference `train_t2i_discrete.py:313-319`).
+PRETRAINED_FROZEN_PREFIXES = (
+    "patch_embed",
+    "context_embed",
+    "time_embed",
+    "in_blocks_",
+    "mid_block",
+    "out_blocks_",
+)
+
+
+def infer_task(config) -> str:
+    if config.nnet.name == "uvit_t2i":
+        return "t2i_discrete"
+    if "autoencoder" in config and "z_shape" in config:
+        if config.get("pred", None) and config.sample.algorithm != "dpm_solver":
+            return "latent_sde"
+        return "latent_discrete"
+    return "pixel_sde"
+
+
+def _dtype(name: str):
+    return {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[name]
+
+
+class Trainer:
+    def __init__(self, config, workdir: Optional[str] = None):
+        self.config = config
+        self.task = config.get("task", None) or infer_task(config)
+        self.workdir = workdir or config.get("workdir", "") or "results/run"
+        self.ckpt_root = os.path.join(self.workdir, "ckpts")
+        self.sample_dir = os.path.join(self.workdir, "samples")
+        if jax.process_index() == 0:
+            os.makedirs(self.ckpt_root, exist_ok=True)
+            os.makedirs(self.sample_dir, exist_ok=True)
+
+        mesh_cfg = config.get("mesh", None)
+        dp = None if (mesh_cfg is None or mesh_cfg.dp == -1) else mesh_cfg.dp
+        self.mesh = make_mesh(
+            dp=dp,
+            fsdp=1 if mesh_cfg is None else mesh_cfg.fsdp,
+            tp=1 if mesh_cfg is None else mesh_cfg.tp,
+        )
+        self.batch_sharding = batch_sharding(self.mesh)
+        self.repl_sharding = replicated_sharding(self.mesh)
+
+        # --- dataset -------------------------------------------------------
+        ds_kwargs = dict(config.dataset)
+        self.dataset = get_dataset(ds_kwargs.pop("name"), **ds_kwargs)
+
+        # --- model ---------------------------------------------------------
+        nnet_kwargs = dict(config.nnet)
+        nnet_kwargs.pop("name")
+        # use_ground_truth is a call-time mode consumed by the loss, not a
+        # constructor field (reference passes it per-forward,
+        # `train_t2i_discrete.py:166-171`).
+        nnet_kwargs.pop("use_ground_truth", None)
+        nnet_kwargs["dtype"] = _dtype(config.get("compute_dtype", "bfloat16"))
+        self.nnet = get_nnet(config.nnet.name, **nnet_kwargs)
+        self.rng = jax.random.PRNGKey(config.seed)
+        self.rng = jax.random.fold_in(self.rng, jax.process_index())
+
+        params = self._init_params()
+        logging.info(f"nnet has {cnt_params(params)} parameters")
+
+        # --- optimizer / state ---------------------------------------------
+        lr_sched = make_lr_schedule(
+            config.optimizer.lr,
+            config.lr_scheduler.name,
+            warmup_steps=config.lr_scheduler.get("warmup_steps", -1),
+            total_steps=config.train.n_steps,
+        )
+        frozen_mask = None
+        if config.get("pretrained", ""):
+            pretrained = config.pretrained
+            if os.path.exists(pretrained):
+                from ..utils.torch_bridge import convert_uvit_t2i, load_torch_state_dict
+
+                sd = load_torch_state_dict(pretrained)
+                loaded = convert_uvit_t2i(sd, depth=config.nnet.depth,
+                                          mlp_time_embed=config.nnet.mlp_time_embed)
+                params = _merge_params(params, loaded)
+                logging.info(f"loaded pretrained image stream from {pretrained}")
+            frozen_mask = frozen_mask_from_prefixes(
+                params["params"], PRETRAINED_FROZEN_PREFIXES
+            )
+            frozen_mask = {"params": frozen_mask}
+        tx = make_optimizer(
+            config.optimizer.name,
+            lr_schedule=lr_sched,
+            weight_decay=config.optimizer.get("weight_decay", 0.0),
+            betas=tuple(config.optimizer.betas),
+            frozen_mask=frozen_mask,
+        )
+        state = create_train_state(params, tx)
+        # place on mesh
+        rules = shard_params_rules(state.params, self.mesh)
+        state = state.replace(
+            params=jax.device_put(state.params, rules),
+            ema_params=jax.device_put(state.ema_params, rules),
+            opt_state=jax.device_put(state.opt_state, self.repl_sharding)
+            if self.mesh.shape["fsdp"] == 1 and self.mesh.shape["tp"] == 1
+            else state.opt_state,
+            step=jax.device_put(state.step, self.repl_sharding),
+        )
+        self.state = state
+
+        # --- diffusion core ------------------------------------------------
+        if self.task in ("pixel_sde", "latent_sde"):
+            self.sde = VPSDE()
+        else:
+            self.betas = stable_diffusion_beta_schedule()
+            self.schedule = Schedule(self.betas)
+            self.noise_schedule = NoiseScheduleVP("discrete", betas=self.betas)
+
+        # --- frozen VAE ----------------------------------------------------
+        self.vae = None
+        self.vae_params = None
+        if "autoencoder" in config:
+            self.vae = get_vae(scale_factor=config.autoencoder.get("scale_factor", 0.18215))
+            ae_path = config.autoencoder.get("pretrained_path", "")
+            if ae_path and os.path.exists(ae_path):
+                from ..utils.torch_bridge import (
+                    convert_autoencoder_kl,
+                    load_torch_state_dict,
+                )
+
+                self.vae_params = jax.device_put(
+                    convert_autoencoder_kl(load_torch_state_dict(ae_path)),
+                    self.repl_sharding,
+                )
+
+        self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0,))
+
+    # ----------------------------------------------------------------------
+
+    def _init_params(self):
+        key = jax.random.fold_in(self.rng, 0)
+        shape = self.config.get("z_shape", None)
+        if shape is None:
+            shape = self.dataset.data_shape
+        x = jnp.zeros((1, *shape))
+        t = jnp.zeros((1,))
+        if self.task == "t2i_discrete":
+            ctx = jnp.zeros((1, self.config.nnet.num_clip_token, self.config.nnet.clip_dim))
+            if self.config.nnet.enable_panoptic:
+                m = jnp.zeros(
+                    (1, self.config.nnet.mask_size, self.config.nnet.mask_size,
+                     self.config.nnet.mask_bits)
+                )
+                return self.nnet.init(key, x, t, ctx, mask_token=m)
+            return self.nnet.init(key, x, t, ctx)
+        if self.config.nnet.get("num_classes", -1) > 0:
+            return self.nnet.init(key, x, t, jnp.zeros((1,), jnp.int32))
+        return self.nnet.init(key, x, t)
+
+    # --- loss --------------------------------------------------------------
+
+    def _loss(self, params, batch, key):
+        cfgt = self.config.train
+        metrics = {}
+        if self.task == "pixel_sde":
+            if cfgt.get("mode", "uncond") == "cond":
+                x, y = batch
+            else:
+                x, y = (batch[0] if isinstance(batch, tuple) else batch), None
+            sm = ScoreModel(
+                lambda xx, tt, **kw: self.nnet.apply(params, xx, tt, **kw),
+                self.config.pred,
+                self.sde,
+            )
+            kwargs = {} if y is None else {"y": y}
+            loss = l_simple_continuous(key, sm, x, pred=self.config.pred, **kwargs)
+            metrics["loss"] = loss.mean()
+            return loss.mean(), metrics
+        if self.task == "latent_sde":
+            moments, y = batch[0], (batch[1] if cfgt.get("mode", "cond") == "cond" else None)
+            k1, k2 = jax.random.split(key)
+            z = sample_from_moments(k1, moments, self.config.autoencoder.scale_factor)
+            sm = ScoreModel(
+                lambda xx, tt, **kw: self.nnet.apply(params, xx, tt, **kw),
+                self.config.pred,
+                self.sde,
+            )
+            kwargs = {} if y is None else {"y": y}
+            loss = l_simple_continuous(k2, sm, z, pred=self.config.pred, **kwargs)
+            metrics["loss"] = loss.mean()
+            return loss.mean(), metrics
+        if self.task == "latent_discrete":
+            moments, y = batch
+            k1, k2 = jax.random.split(key)
+            z = sample_from_moments(k1, moments, self.config.autoencoder.scale_factor)
+            loss = l_simple(
+                k2, z,
+                lambda xx, tt, **kw: self.nnet.apply(params, xx, tt, y),
+                self.schedule,
+            )
+            metrics["loss"] = loss.mean()
+            return loss.mean(), metrics
+        # t2i_discrete
+        k1, k2 = jax.random.split(key)
+        moments, context = batch[0], batch[1]
+        z = sample_from_moments(k1, moments, self.config.autoencoder.scale_factor)
+        if self.config.nnet.enable_panoptic:
+            panoptic = batch[2]
+
+            def nnet_fn(xx, tt, mask_token=None, use_ground_truth=False):
+                return self.nnet.apply(
+                    params, xx, tt, context,
+                    mask_token=mask_token, use_ground_truth=use_ground_truth,
+                )
+
+            loss_eps, loss_mask = l_simple_panoptic(
+                k2, z, nnet_fn, self.schedule, panoptic,
+                mask_bits=self.config.nnet.mask_bits,
+                use_ground_truth=self.config.nnet.use_ground_truth,
+            )
+            metrics["loss"] = loss_eps.mean()
+            metrics["loss_mask"] = loss_mask.mean()
+            if self.config.nnet.use_ground_truth:
+                return loss_eps.mean(), metrics
+            return loss_eps.mean() + loss_mask.mean(), metrics
+        loss = l_simple(
+            k2, z,
+            lambda xx, tt, **kw: self.nnet.apply(params, xx, tt, context),
+            self.schedule,
+        )
+        metrics["loss"] = loss.mean()
+        return loss.mean(), metrics
+
+    def _train_step_impl(self, state: TrainState, batch, key):
+        (loss, metrics), grads = jax.value_and_grad(self._loss, has_aux=True)(
+            state.params, batch, key
+        )
+        new_state = state.apply_gradients(
+            grads, ema_rate=self.config.get("ema_rate", 0.9999)
+        )
+        return new_state, metrics
+
+    # --- sampling ----------------------------------------------------------
+
+    def build_sample_fn(self, sample_steps: Optional[int] = None, decode: bool = True):
+        """One jittable function (key, context/labels...) -> samples [+ mask].
+
+        Covers: EM SDE/ODE for continuous tasks, DPM-Solver(++) for discrete;
+        CFG fused; optional VAE decode inside the same program."""
+        config = self.config
+        steps = sample_steps or config.sample.sample_steps
+        scale = config.sample.get("scale", 0.0)
+        cfg_on = bool(config.sample.get("cfg", False))
+        z_shape = tuple(config.get("z_shape", None) or self.dataset.data_shape)
+        ema = self.state.ema_params
+
+        if self.task in ("pixel_sde", "latent_sde"):
+            sm = ScoreModel(
+                lambda xx, tt, **kw: self.nnet.apply(ema, xx, tt, **kw),
+                config.pred,
+                self.sde,
+            )
+
+            def sample_fn(key, y=None, n: int = 1):
+                kwargs = {} if y is None else {"y": y}
+                k1, k2 = jax.random.split(key)
+                x_init = jax.random.normal(k1, (n, *z_shape))
+                if config.sample.algorithm == "euler_maruyama_sde":
+                    x = euler_maruyama(k2, ReverseSDE(sm), x_init, steps, **kwargs)
+                elif config.sample.algorithm == "euler_maruyama_ode":
+                    x = euler_maruyama(k2, ODE(sm), x_init, steps, **kwargs)
+                else:  # continuous dpm_solver (reference train.py:115-130)
+                    ns = NoiseScheduleVP("linear")
+                    solver = DPMSolver(
+                        lambda xx, tt, mask_token=None: sm.noise_pred(xx, tt, **kwargs),
+                        ns, predict_x0=False,
+                    )
+                    x = solver.sample(x_init, steps=steps, eps=1e-4, T=1.0, order=3,
+                                      method="singlestep")
+                if self.task == "latent_sde" and decode and self.vae_params is not None:
+                    x = self.vae.apply(self.vae_params, x, method="decode")
+                return x
+
+            return sample_fn
+
+        N = self.schedule.N
+
+        if self.task == "latent_discrete":
+            cfg_fn = make_cfg_class_cond(
+                lambda xx, tt, yy: self.nnet.apply(ema, xx, tt, yy),
+                null_label=config.nnet.num_classes - 1,
+                scale=scale,
+                enabled=cfg_on,
+            )
+
+            def sample_fn(key, y, n: int = None):
+                n = y.shape[0]
+                z_init = jax.random.normal(key, (n, *z_shape))
+                solver = DPMSolver(
+                    lambda xx, tt, mask_token=None: cfg_fn(xx, tt * N, y),
+                    self.noise_schedule, predict_x0=True,
+                )
+                z = solver.sample(z_init, steps=steps, eps=1.0 / N, T=1.0, order=3,
+                                  method="fast")
+                if decode and self.vae_params is not None:
+                    z = self.vae.apply(self.vae_params, z, method="decode")
+                return z
+
+            return sample_fn
+
+        # t2i_discrete
+        empty_context = np.asarray(self.dataset.empty_context)
+        cfg_fn = make_cfg_t2i(
+            lambda xx, tt, cc, mask_token=None: self.nnet.apply(
+                ema, xx, tt, cc, mask_token=mask_token
+            ),
+            empty_context,
+            scale=scale,
+            enabled=cfg_on,
+        )
+        panoptic_on = bool(config.nnet.enable_panoptic)
+
+        def sample_fn(key, context, n: int = None):
+            n = context.shape[0]
+            k1, k2 = jax.random.split(key)
+            z_init = jax.random.normal(k1, (n, *z_shape))
+            solver = DPMSolver(
+                lambda xx, tt, mask_token=None: cfg_fn(xx, tt * N, context,
+                                                       mask_token=mask_token),
+                self.noise_schedule, predict_x0=True,
+            )
+            if panoptic_on:
+                mask_init = jax.random.normal(
+                    k2, (n, config.nnet.mask_size, config.nnet.mask_size,
+                         config.nnet.mask_bits)
+                )
+                z, pred_mask = solver.sample(
+                    z_init, steps=steps, eps=1.0 / N, T=1.0, order=3, method="fast",
+                    mask_token=mask_init,
+                )
+            else:
+                z = solver.sample(z_init, steps=steps, eps=1.0 / N, T=1.0, order=3,
+                                  method="fast")
+                pred_mask = None
+            if decode and self.vae_params is not None:
+                x = self.vae.apply(self.vae_params, z, method="decode")
+            else:
+                x = z
+            if panoptic_on:
+                return x, pred_mask
+            return x
+
+        return sample_fn
+
+    # --- main loop ----------------------------------------------------------
+
+    def data_stream(self):
+        loader = Loader(
+            self.dataset.get_split("train", labeled=True),
+            batch_size=self.config.train.batch_size,
+            num_workers=self.config.get("num_workers", 8),
+            seed=self.config.seed + jax.process_index(),
+        )
+        return prefetch_to_device(iter(loader), self.batch_sharding)
+
+    def resume(self):
+        self.state, resumed = ckpt_lib.resume(self.ckpt_root, self.state)
+        return resumed
+
+    def fit(
+        self,
+        eval_callback: Optional[Callable] = None,
+        max_steps: Optional[int] = None,
+    ):
+        """Train to config.train.n_steps; returns final metrics.
+
+        eval_callback(trainer, step) runs every save_interval (FID etc. — wiring
+        lives in evaluation/, kept out of the hot path)."""
+        config = self.config
+        stream = self.data_stream()
+        self.resume()
+        n_steps = max_steps or config.train.n_steps
+        log_interval = config.train.get("log_interval", 10)
+        save_interval = config.train.get("save_interval", 50000)
+        metrics_hist = []
+        t0 = time.time()
+        while int(self.state.step) < n_steps:
+            batch = next(stream)
+            step_key = jax.random.fold_in(self.rng, int(self.state.step) + 1)
+            self.state, metrics = self._train_step(self.state, batch, step_key)
+            step = int(self.state.step)
+            if step % log_interval == 0:
+                m = {k: float(v) for k, v in metrics.items()}
+                m["step"] = step
+                m["steps_per_sec"] = log_interval / max(time.time() - t0, 1e-9)
+                t0 = time.time()
+                metrics_hist.append(m)
+                if jax.process_index() == 0:
+                    logging.info(dct2str(m))
+            if save_interval and step % save_interval == 0:
+                if jax.process_index() == 0:
+                    ckpt_lib.save_checkpoint(self.ckpt_root, self.state)
+                if eval_callback is not None:
+                    eval_callback(self, step)
+        return metrics_hist
+
+
+def _merge_params(params, loaded):
+    """Overlay `loaded` onto `params` where paths match (strict=False load,
+    reference `utils.py:383`)."""
+    import flax.traverse_util as tu
+
+    flat = dict(tu.flatten_dict(params))
+    for k, v in tu.flatten_dict(loaded).items():
+        if k in flat and flat[k].shape == np.asarray(v).shape:
+            flat[k] = jnp.asarray(v)
+    return tu.unflatten_dict(flat)

@@ -1,0 +1,109 @@
+import os
+
+import numpy as np
+import pytest
+
+from panopticdiffusionmodels_tpu.evaluation import (
+    color_map,
+    compute_statistics,
+    eval_mask_cnt,
+    fid_from_stats,
+    frechet_distance,
+    get_colormap,
+)
+from panopticdiffusionmodels_tpu.evaluation.fid import load_stats, save_stats
+from panopticdiffusionmodels_tpu.evaluation.sampler_io import sample2dir
+
+
+def test_frechet_identical_is_zero():
+    rng = np.random.default_rng(0)
+    acts = rng.normal(size=(500, 16))
+    mu, sigma = compute_statistics(acts)
+    assert abs(frechet_distance(mu, sigma, mu, sigma)) < 1e-6
+
+
+def test_frechet_mean_shift():
+    # same covariance, shifted mean: FID = |delta|^2
+    d = 8
+    mu1 = np.zeros(d)
+    mu2 = np.full(d, 0.5)
+    sigma = np.eye(d)
+    fid = frechet_distance(mu1, sigma, mu2, sigma)
+    np.testing.assert_allclose(fid, d * 0.25, rtol=1e-6)
+
+
+def test_frechet_variance_difference():
+    # zero means, isotropic: FID = sum (sqrt(s1) - sqrt(s2))^2
+    d = 4
+    s1, s2 = 4.0, 1.0
+    fid = frechet_distance(np.zeros(d), s1 * np.eye(d), np.zeros(d), s2 * np.eye(d))
+    np.testing.assert_allclose(fid, d * (2.0 - 1.0) ** 2, rtol=1e-6)
+
+
+def test_stats_file_roundtrip(tmp_path):
+    rng = np.random.default_rng(0)
+    acts = rng.normal(size=(200, 8))
+    mu, sigma = compute_statistics(acts)
+    path = str(tmp_path / "stats.npz")
+    save_stats(path, mu, sigma)
+    mu2, sigma2 = load_stats(path)
+    np.testing.assert_array_equal(mu, mu2)
+    assert fid_from_stats(path, (mu, sigma)) < 1e-6
+
+
+def test_eval_mask_cnt():
+    gt = np.zeros((2, 8, 8), dtype=np.int32)
+    pred = gt.copy()
+    assert eval_mask_cnt(pred, gt) == 0.0
+    pred2 = pred.copy()
+    pred2[0, 0, 0] = 5  # one pixel differs -> 2 count diffs (one +, one -)
+    assert eval_mask_cnt(pred2, gt) == pytest.approx(2 / 64 / 2)
+
+
+def test_color_map(tmp_path):
+    cm = get_colormap(str(tmp_path / "cm.npy"))
+    assert cm.shape == (256, 3)
+    ids = np.array([[[0, 200], [13, 255]]])
+    rgb = color_map(ids, cm)
+    assert rgb.shape == (1, 2, 2, 3)
+    np.testing.assert_array_equal(rgb[0, 0, 0], cm[0])
+
+
+def test_inception_architecture_shapes(rng):
+    from panopticdiffusionmodels_tpu.evaluation.inception import (
+        inception_pool3,
+        random_params,
+    )
+
+    params = random_params()
+    x = np.random.default_rng(0).uniform(0, 1, (2, 32, 32, 3)).astype(np.float32)
+    feats = inception_pool3(params, x)
+    assert feats.shape == (2, 2048)
+    assert np.isfinite(np.asarray(feats)).all()
+
+
+def test_sample2dir_contract(tmp_path):
+    sample_dir = str(tmp_path / "samples")
+    mask_dir = str(tmp_path / "mask")
+    rng = np.random.default_rng(0)
+
+    counter = {"n": 0}
+
+    def sample_fn(n):
+        idx = np.arange(counter["n"], counter["n"] + n)
+        counter["n"] += n
+        samples = rng.uniform(-1, 1, (n, 16, 16, 3)).astype(np.float32)
+        pred_mask = rng.normal(size=(n, 8, 8, 8)).astype(np.float32)
+        panoptic = rng.integers(0, 201, (n, 8, 8, 1))
+        return idx, samples, pred_mask, 0.5, panoptic
+
+    metrics = sample2dir(
+        sample_dir, 8, 4, sample_fn,
+        unpreprocess_fn=lambda v: np.clip((v + 1) / 2, 0, 1),
+        use_panoptic=True, mask_path=mask_dir,
+    )
+    pngs = sorted(os.listdir(sample_dir))
+    assert len(pngs) == 8
+    assert len(os.listdir(mask_dir)) == 8
+    assert "eval_loss_mask" in metrics and metrics["eval_loss_mask"] == 0.5
+    assert "eval_cnt_mask_diff" in metrics

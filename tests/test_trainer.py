@@ -1,0 +1,61 @@
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from panopticdiffusionmodels_tpu.configs import get_config
+from panopticdiffusionmodels_tpu.train.trainer import Trainer, infer_task
+
+
+@pytest.fixture(scope="module")
+def tiny_trainer(tmp_path_factory):
+    config = get_config("synthetic_tiny")
+    wd = str(tmp_path_factory.mktemp("run"))
+    return Trainer(config, wd)
+
+
+def test_infer_task():
+    assert infer_task(get_config("cifar10_uvit_small")) == "pixel_sde"
+    assert infer_task(get_config("imagenet256_uvit_large")) == "latent_discrete"
+    assert infer_task(get_config("mscoco_uvit_small")) == "t2i_discrete"
+
+
+def test_fit_smoke(tiny_trainer):
+    metrics = tiny_trainer.fit(max_steps=10)
+    assert int(tiny_trainer.state.step) == 10
+    assert metrics, "no metrics logged"
+    for m in metrics:
+        assert np.isfinite(m["loss"]) and np.isfinite(m["loss_mask"])
+
+
+def test_loss_decreases_on_tiny_overfit(tmp_path):
+    config = get_config("synthetic_tiny")
+    config.dataset.n = 16
+    config.train.batch_size = 16
+    config.optimizer.lr = 1e-3
+    config.lr_scheduler.warmup_steps = 1
+    trainer = Trainer(config, str(tmp_path))
+    metrics = trainer.fit(max_steps=60)
+    first = np.mean([m["loss"] + m["loss_mask"] for m in metrics[:3]])
+    last = np.mean([m["loss"] + m["loss_mask"] for m in metrics[-3:]])
+    assert last < first, f"loss did not decrease: {first} -> {last}"
+
+
+def test_sample_fn_shapes(tiny_trainer):
+    sample_fn = jax.jit(tiny_trainer.build_sample_fn(sample_steps=6))
+    key = jax.random.PRNGKey(0)
+    ctx = jax.numpy.zeros((4, 7, 16))
+    x, pred_mask = sample_fn(key, ctx)
+    assert x.shape == (4, 8, 8, 4)  # no VAE weights -> stays in latent space
+    assert pred_mask.shape == (4, 16, 16, 8)
+    assert bool(jax.numpy.isfinite(x).all())
+
+
+def test_sampling_batch_is_deterministic_given_key(tiny_trainer):
+    sample_fn = jax.jit(tiny_trainer.build_sample_fn(sample_steps=6))
+    key = jax.random.PRNGKey(3)
+    ctx = jax.numpy.zeros((2, 7, 16))
+    x1, m1 = sample_fn(key, ctx)
+    x2, m2 = sample_fn(key, ctx)
+    np.testing.assert_array_equal(np.asarray(x1), np.asarray(x2))
