@@ -29,6 +29,13 @@ A100_BASELINE_EST = 4.0  # img/s/chip, see module docstring
 os.environ.setdefault("JAX_PLATFORMS", os.environ.get("JAX_PLATFORMS", ""))
 
 import jax
+
+# Persistent compilation cache: the 50-NFE program is large and first-compile
+# over a remote-tunnel TPU is slow; cached recompiles are seconds.
+jax.config.update("jax_compilation_cache_dir", os.environ.get("JAX_CACHE_DIR", "/root/.jax_cache"))
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
 import jax.numpy as jnp
 import numpy as np
 

@@ -1,0 +1,317 @@
+// fastloader: native threaded batch assembler for pre-encoded feature datasets.
+//
+// The training hot path reads per-sample .npy triples (VAE latent moments,
+// CLIP context, panoptic seg map — the file contract of the reference
+// extraction scripts, reference datasets.py:564-613) and must keep a TPU fed.
+// The Python loader pays interpreter overhead per sample; this C++ runtime
+// does the whole batch pipeline natively:
+//
+//   * a worker thread pool reads + parses .npy files (minimal parser for
+//     <f4/<i4/<i8 C-order arrays),
+//   * panoptic maps are k x k min-pooled (256 -> 64, reference datasets.py:591)
+//     during assembly,
+//   * finished batches sit in a bounded ring buffer; the consumer copies them
+//     out through a zero-dependency C ABI (ctypes on the Python side).
+//
+// Build: make -C native   (g++ -O3 -shared -fPIC)
+#include <algorithm>
+#include <atomic>
+#include <condition_variable>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <mutex>
+#include <queue>
+#include <random>
+#include <string>
+#include <thread>
+#include <vector>
+
+namespace {
+
+struct NpyArray {
+  std::vector<int64_t> shape;
+  std::string dtype;  // "<f4", "<i4", "<i8"
+  std::vector<char> data;
+};
+
+// Minimal .npy (v1/v2) reader for little-endian C-order arrays.
+bool read_npy(const std::string& path, NpyArray* out) {
+  FILE* f = std::fopen(path.c_str(), "rb");
+  if (!f) return false;
+  unsigned char magic[8];
+  if (std::fread(magic, 1, 8, f) != 8 || std::memcmp(magic, "\x93NUMPY", 6) != 0) {
+    std::fclose(f);
+    return false;
+  }
+  uint32_t header_len = 0;
+  if (magic[6] == 1) {
+    uint16_t h16;
+    if (std::fread(&h16, 2, 1, f) != 1) { std::fclose(f); return false; }
+    header_len = h16;
+  } else {
+    if (std::fread(&header_len, 4, 1, f) != 1) { std::fclose(f); return false; }
+  }
+  std::string header(header_len, '\0');
+  if (std::fread(&header[0], 1, header_len, f) != header_len) {
+    std::fclose(f);
+    return false;
+  }
+  // parse dtype
+  auto dpos = header.find("'descr':");
+  if (dpos == std::string::npos) { std::fclose(f); return false; }
+  auto q1 = header.find('\'', dpos + 8);
+  auto q2 = header.find('\'', q1 + 1);
+  out->dtype = header.substr(q1 + 1, q2 - q1 - 1);
+  // fortran_order must be False
+  if (header.find("'fortran_order': True") != std::string::npos) {
+    std::fclose(f);
+    return false;
+  }
+  // parse shape tuple
+  auto spos = header.find("'shape':");
+  auto p1 = header.find('(', spos);
+  auto p2 = header.find(')', p1);
+  std::string shape_str = header.substr(p1 + 1, p2 - p1 - 1);
+  out->shape.clear();
+  int64_t val = 0;
+  bool in_num = false;
+  for (char c : shape_str) {
+    if (c >= '0' && c <= '9') {
+      val = val * 10 + (c - '0');
+      in_num = true;
+    } else if (in_num) {
+      out->shape.push_back(val);
+      val = 0;
+      in_num = false;
+    }
+  }
+  if (in_num) out->shape.push_back(val);
+  size_t itemsize = 0;
+  if (out->dtype == "<f4" || out->dtype == "<i4") itemsize = 4;
+  else if (out->dtype == "<f8" || out->dtype == "<i8") itemsize = 8;
+  else { std::fclose(f); return false; }
+  size_t n = itemsize;
+  for (int64_t s : out->shape) n *= static_cast<size_t>(s);
+  out->data.resize(n);
+  bool ok = std::fread(out->data.data(), 1, n, f) == n;
+  std::fclose(f);
+  return ok;
+}
+
+// Copy an arbitrary supported dtype into an int32 buffer.
+void to_i32(const NpyArray& a, int32_t* dst, size_t n) {
+  if (a.dtype == "<i4") {
+    std::memcpy(dst, a.data.data(), n * 4);
+  } else if (a.dtype == "<i8") {
+    const int64_t* src = reinterpret_cast<const int64_t*>(a.data.data());
+    for (size_t i = 0; i < n; ++i) dst[i] = static_cast<int32_t>(src[i]);
+  } else if (a.dtype == "<f4") {
+    const float* src = reinterpret_cast<const float*>(a.data.data());
+    for (size_t i = 0; i < n; ++i) dst[i] = static_cast<int32_t>(src[i]);
+  } else {
+    const double* src = reinterpret_cast<const double*>(a.data.data());
+    for (size_t i = 0; i < n; ++i) dst[i] = static_cast<int32_t>(src[i]);
+  }
+}
+
+void to_f32(const NpyArray& a, float* dst, size_t n) {
+  if (a.dtype == "<f4") {
+    std::memcpy(dst, a.data.data(), n * 4);
+  } else if (a.dtype == "<f8") {
+    const double* src = reinterpret_cast<const double*>(a.data.data());
+    for (size_t i = 0; i < n; ++i) dst[i] = static_cast<float>(src[i]);
+  } else if (a.dtype == "<i4") {
+    const int32_t* src = reinterpret_cast<const int32_t*>(a.data.data());
+    for (size_t i = 0; i < n; ++i) dst[i] = static_cast<float>(src[i]);
+  } else {
+    const int64_t* src = reinterpret_cast<const int64_t*>(a.data.data());
+    for (size_t i = 0; i < n; ++i) dst[i] = static_cast<float>(src[i]);
+  }
+}
+
+struct Batch {
+  std::vector<float> moments;    // (B, h, w, c) channel-last
+  std::vector<float> context;    // (B, T, D)
+  std::vector<int32_t> seg;      // (B, m, m, 1)
+};
+
+struct Loader {
+  std::string dir;
+  std::vector<int64_t> indices;
+  int batch_size = 0;
+  int num_captions = 5;
+  // moments stored CHW (c, h, w); emitted HWC
+  int mc = 0, mh = 0, mw = 0;
+  int ct = 0, cd = 0;       // context (T, D)
+  int seg_in = 0, seg_out = 0;  // seg stored (seg_in, seg_in); pooled to seg_out
+  bool shuffle = true;
+  uint64_t seed = 0;
+
+  std::vector<std::thread> workers;
+  std::queue<Batch*> ready;
+  std::mutex mu;
+  std::condition_variable cv_ready, cv_space;
+  size_t max_queue = 4;
+  std::atomic<bool> stop{false};
+  std::atomic<uint64_t> epoch{0};
+  std::vector<int64_t> order;
+  std::atomic<size_t> cursor{0};
+  std::mutex order_mu;
+
+  void reshuffle() {
+    std::lock_guard<std::mutex> lk(order_mu);
+    if (cursor.load() + batch_size <= order.size()) return;  // someone else did it
+    std::mt19937_64 rng(seed + (++epoch));
+    order = indices;
+    if (shuffle) std::shuffle(order.begin(), order.end(), rng);
+    cursor.store(0);
+  }
+
+  bool next_indices(std::vector<int64_t>* out, std::mt19937_64* rng) {
+    for (;;) {
+      size_t start = cursor.fetch_add(batch_size);
+      if (start + batch_size <= order.size()) {
+        out->assign(order.begin() + start, order.begin() + start + batch_size);
+        return true;
+      }
+      if (stop.load()) return false;
+      reshuffle();
+    }
+  }
+
+  bool load_sample(int64_t idx, int bi, Batch* b, std::mt19937_64* rng) {
+    char buf[64];
+    NpyArray a;
+    // moments: {i}.npy stored (c, h, w) -> transpose to (h, w, c)
+    std::snprintf(buf, sizeof buf, "/%lld.npy", static_cast<long long>(idx));
+    if (!read_npy(dir + buf, &a)) return false;
+    std::vector<float> chw(static_cast<size_t>(mc) * mh * mw);
+    to_f32(a, chw.data(), chw.size());
+    float* mdst = b->moments.data() + static_cast<size_t>(bi) * mh * mw * mc;
+    for (int h = 0; h < mh; ++h)
+      for (int w = 0; w < mw; ++w)
+        for (int c = 0; c < mc; ++c)
+          mdst[(static_cast<size_t>(h) * mw + w) * mc + c] =
+              chw[(static_cast<size_t>(c) * mh + h) * mw + w];
+    // context: {i}_{k}.npy, random caption
+    int k = static_cast<int>((*rng)() % num_captions);
+    std::snprintf(buf, sizeof buf, "/%lld_%d.npy", static_cast<long long>(idx), k);
+    if (!read_npy(dir + buf, &a)) return false;
+    to_f32(a, b->context.data() + static_cast<size_t>(bi) * ct * cd,
+           static_cast<size_t>(ct) * cd);
+    // seg: {i}_seg.npy with min-pool
+    if (seg_out > 0) {
+      std::snprintf(buf, sizeof buf, "/%lld_seg.npy", static_cast<long long>(idx));
+      if (!read_npy(dir + buf, &a)) return false;
+      std::vector<int32_t> full(static_cast<size_t>(seg_in) * seg_in);
+      to_i32(a, full.data(), full.size());
+      int pool = seg_in / seg_out;
+      int32_t* sdst = b->seg.data() + static_cast<size_t>(bi) * seg_out * seg_out;
+      for (int i = 0; i < seg_out; ++i) {
+        for (int j = 0; j < seg_out; ++j) {
+          int32_t m = INT32_MAX;
+          for (int pi = 0; pi < pool; ++pi)
+            for (int pj = 0; pj < pool; ++pj) {
+              int32_t v = full[static_cast<size_t>(i * pool + pi) * seg_in + j * pool + pj];
+              m = std::min(m, v);
+            }
+          sdst[static_cast<size_t>(i) * seg_out + j] = m;
+        }
+      }
+    }
+    return true;
+  }
+
+  void worker(int wid) {
+    std::mt19937_64 rng(seed * 1315423911u + wid);
+    std::vector<int64_t> batch_idx;
+    while (!stop.load()) {
+      if (!next_indices(&batch_idx, &rng)) break;
+      Batch* b = new Batch();
+      b->moments.resize(static_cast<size_t>(batch_size) * mh * mw * mc);
+      b->context.resize(static_cast<size_t>(batch_size) * ct * cd);
+      if (seg_out > 0) b->seg.resize(static_cast<size_t>(batch_size) * seg_out * seg_out);
+      bool ok = true;
+      for (int i = 0; i < batch_size && ok; ++i)
+        ok = load_sample(batch_idx[i], i, b, &rng);
+      if (!ok) {
+        delete b;
+        continue;
+      }
+      std::unique_lock<std::mutex> lk(mu);
+      cv_space.wait(lk, [&] { return ready.size() < max_queue || stop.load(); });
+      if (stop.load()) {
+        delete b;
+        break;
+      }
+      ready.push(b);
+      cv_ready.notify_one();
+    }
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+void* fl_open(const char* dir, const int64_t* indices, int64_t n_indices,
+              int batch_size, int num_captions, int mc, int mh, int mw, int ct,
+              int cd, int seg_in, int seg_out, int shuffle, uint64_t seed,
+              int num_threads) {
+  auto* l = new Loader();
+  l->dir = dir;
+  l->indices.assign(indices, indices + n_indices);
+  l->batch_size = batch_size;
+  l->num_captions = num_captions;
+  l->mc = mc; l->mh = mh; l->mw = mw;
+  l->ct = ct; l->cd = cd;
+  l->seg_in = seg_in; l->seg_out = seg_out;
+  l->shuffle = shuffle != 0;
+  l->seed = seed;
+  l->order = l->indices;
+  if (l->shuffle) {
+    std::mt19937_64 rng(seed);
+    std::shuffle(l->order.begin(), l->order.end(), rng);
+  }
+  for (int i = 0; i < num_threads; ++i)
+    l->workers.emplace_back(&Loader::worker, l, i);
+  return l;
+}
+
+// Blocks until a batch is ready; copies into caller buffers. Returns 1 on ok.
+int fl_next(void* handle, float* moments, float* context, int32_t* seg) {
+  auto* l = static_cast<Loader*>(handle);
+  Batch* b = nullptr;
+  {
+    std::unique_lock<std::mutex> lk(l->mu);
+    l->cv_ready.wait(lk, [&] { return !l->ready.empty() || l->stop.load(); });
+    if (l->ready.empty()) return 0;
+    b = l->ready.front();
+    l->ready.pop();
+    l->cv_space.notify_one();
+  }
+  std::memcpy(moments, b->moments.data(), b->moments.size() * 4);
+  std::memcpy(context, b->context.data(), b->context.size() * 4);
+  if (seg && !b->seg.empty()) std::memcpy(seg, b->seg.data(), b->seg.size() * 4);
+  delete b;
+  return 1;
+}
+
+void fl_close(void* handle) {
+  auto* l = static_cast<Loader*>(handle);
+  l->stop.store(true);
+  l->cv_ready.notify_all();
+  l->cv_space.notify_all();
+  for (auto& t : l->workers) t.join();
+  {
+    std::lock_guard<std::mutex> lk(l->mu);
+    while (!l->ready.empty()) {
+      delete l->ready.front();
+      l->ready.pop();
+    }
+  }
+  delete l;
+}
+
+}  // extern "C"

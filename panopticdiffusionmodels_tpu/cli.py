@@ -84,8 +84,18 @@ def _parse(argv):
     return spec, workdir, rest
 
 
+def _maybe_init_distributed():
+    """Multi-host: one call replaces all of the reference's NCCL bring-up
+    (SURVEY.md §2.2); DCN topology comes from the TPU runtime/env."""
+    if os.environ.get("JAX_COORDINATOR_ADDRESS"):
+        import jax
+
+        jax.distributed.initialize()
+
+
 def main_train(argv=None):
     argv = argv or sys.argv
+    _maybe_init_distributed()
     spec, workdir, rest = _parse(argv)
     config = load_config(spec)
     hparams = apply_overrides(config, rest)

@@ -415,6 +415,9 @@ class Trainer:
     # --- main loop ----------------------------------------------------------
 
     def data_stream(self):
+        native = self._native_stream()
+        if native is not None:
+            return prefetch_to_device(native, self.batch_sharding)
         loader = Loader(
             self.dataset.get_split("train", labeled=True),
             batch_size=self.config.train.batch_size,
@@ -422,6 +425,54 @@ class Trainer:
             seed=self.config.seed + jax.process_index(),
         )
         return prefetch_to_device(iter(loader), self.batch_sharding)
+
+    def _native_stream(self):
+        """C++ fastloader path for MS-COCO feature dirs (native/fastloader.cpp);
+        falls back to the Python loader when unavailable."""
+        if self.task != "t2i_discrete" or not self.config.get("native_loader", True):
+            return None
+        from ..data.datasets import MSCOCO256Features
+        from ..data import native_loader
+
+        if not isinstance(self.dataset, MSCOCO256Features):
+            return None
+        if not native_loader.available():
+            return None
+        train_dir = os.path.join(self.dataset.path, "train")
+        if not os.path.isdir(train_dir):
+            return None
+        h, w, c = self.config.z_shape
+        seg_probe = next(
+            (n for n in os.listdir(train_dir) if n.endswith("_seg.npy")), None
+        )
+        mask_size = self.config.nnet.mask_size if self.config.nnet.enable_panoptic else None
+        seg_in = mask_size or 0
+        if seg_probe is not None:
+            seg_in = np.load(os.path.join(train_dir, seg_probe)).shape[0]
+        loader = native_loader.NativeFeatureLoader(
+            train_dir,
+            batch_size=self.config.train.batch_size,
+            moments_shape=(2 * c, h, w),
+            context_shape=(self.config.nnet.num_clip_token, self.config.nnet.clip_dim),
+            seg_in=seg_in,
+            mask_size=mask_size,
+            seed=self.config.seed + jax.process_index(),
+            num_threads=self.config.get("num_workers", 8),
+        )
+        p_uncond = float(self.config.dataset.get("p_uncond", 0.0) or 0.0)
+        empty = np.asarray(self.dataset.empty_context, dtype=np.float32)
+        rng = np.random.default_rng(self.config.seed + jax.process_index())
+
+        def stream():
+            for batch in loader:
+                if p_uncond > 0.0:
+                    context = batch[1]
+                    drop = rng.random(context.shape[0]) < p_uncond
+                    context[drop] = empty
+                yield batch
+
+        logging.info("using native C++ fastloader for the input pipeline")
+        return stream()
 
     def resume(self):
         self.state, resumed = ckpt_lib.resume(self.ckpt_root, self.state)
