@@ -52,7 +52,7 @@ def build_pipeline(batch_size: int):
 
     model = UViT(
         img_size=32, patch_size=2, in_chans=4, embed_dim=1024, depth=20,
-        num_heads=16, num_classes=1001, dtype=jnp.bfloat16,
+        num_heads=16, num_classes=1001, dtype=jnp.bfloat16, scan_blocks=True,
     )
     key = jax.random.PRNGKey(0)
     params = model.init(

@@ -104,10 +104,11 @@ def main_train(argv=None):
     set_logger("info", os.path.join(wd, "output.log") if os.path.isdir(wd) else None)
     logging.info(f"workdir: {wd}")
 
+    from .evaluation.runner import make_fid_gated_callback
     from .train.trainer import Trainer
 
     trainer = Trainer(config, wd)
-    trainer.fit()
+    trainer.fit(eval_callback=make_fid_gated_callback())
 
 
 def main_eval(argv=None):

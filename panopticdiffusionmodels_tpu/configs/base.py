@@ -61,7 +61,7 @@ def autoencoder_block(pretrained_path="assets/stable-diffusion/autoencoder_kl.pt
 
 def uvit(img_size, patch_size, embed_dim, depth, num_heads, in_chans=3,
          num_classes=-1, mlp_ratio=4, qkv_bias=False, mlp_time_embed=False,
-         use_checkpoint=False, conv=True):
+         use_checkpoint=False, conv=True, scan_blocks=False):
     return d(
         name="uvit",
         img_size=img_size,
@@ -76,6 +76,7 @@ def uvit(img_size, patch_size, embed_dim, depth, num_heads, in_chans=3,
         num_classes=num_classes,
         use_checkpoint=use_checkpoint,
         conv=conv,
+        scan_blocks=scan_blocks,
     )
 
 
@@ -83,7 +84,7 @@ def uvit_t2i(img_size, patch_size, embed_dim, depth, num_heads, in_chans=4,
              mlp_ratio=4, qkv_bias=False, mlp_time_embed=False, clip_dim=768,
              num_clip_token=77, enable_panoptic=True, separate=True,
              use_ground_truth=False, mask_bits=8, mask_size=None,
-             use_checkpoint=False, conv=True):
+             use_checkpoint=False, conv=True, scan_blocks=False):
     return d(
         name="uvit_t2i",
         img_size=img_size,
@@ -104,6 +105,7 @@ def uvit_t2i(img_size, patch_size, embed_dim, depth, num_heads, in_chans=4,
         mask_size=mask_size if mask_size is not None else 2 * img_size,
         use_checkpoint=use_checkpoint,
         conv=conv,
+        scan_blocks=scan_blocks,
     )
 
 

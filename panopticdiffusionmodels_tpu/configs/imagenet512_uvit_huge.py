@@ -10,7 +10,7 @@ def get_config():
     config.optimizer = adamw(2e-4, 0.03, (0.99, 0.99))
     config.lr_scheduler = warmup(5000)
     config.nnet = uvit(img_size=64, patch_size=4, in_chans=4, embed_dim=1152, depth=28,
-                       num_heads=16, num_classes=1001, use_checkpoint=True, conv=False)
+                       num_heads=16, num_classes=1001, use_checkpoint=True, conv=False, scan_blocks=True)
     config.dataset = d(name="imagenet512_features", path="assets/datasets/imagenet512_features",
                        cfg=True, p_uncond=0.1)
     config.sample = sample_block(50, 50000, 50, algorithm="dpm_solver", cfg=True, scale=0.7)

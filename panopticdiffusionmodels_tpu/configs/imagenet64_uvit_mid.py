@@ -8,7 +8,7 @@ def get_config():
     config.optimizer = adamw(3e-4, 0.03, (0.99, 0.99))
     config.lr_scheduler = warmup(5000)
     config.nnet = uvit(img_size=64, patch_size=4, embed_dim=768, depth=16, num_heads=12,
-                       num_classes=1000, use_checkpoint=True)
+                       num_classes=1000, use_checkpoint=True, scan_blocks=True)
     config.dataset = d(name="imagenet", path="assets/datasets/imagenet")
     config.sample = sample_block(50, 50000, 256, algorithm="dpm_solver")
     return config

@@ -9,7 +9,7 @@ def get_config():
     config.train = train_block(1000000, 32, log_interval=20)
     config.optimizer = adamw(2e-4, 0.03, (0.9, 0.9))
     config.lr_scheduler = warmup(5000)
-    config.nnet = uvit_t2i(img_size=32, patch_size=2, embed_dim=768, depth=16, num_heads=12,
+    config.nnet = uvit_t2i(img_size=32, patch_size=2, embed_dim=768, depth=16, num_heads=12, scan_blocks=True,
                            enable_panoptic=False, separate=False)
     config.dataset = d(name="mscoco256_features", path="assets/datasets/coco256_features",
                        cfg=True, p_uncond=0.1)

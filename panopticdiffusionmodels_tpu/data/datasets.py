@@ -430,20 +430,44 @@ class SyntheticDataset:
         return vals if len(vals) > 1 else vals[0]
 
 
+class SyntheticLabeled:
+    """(array, int label) pairs for class-conditional tasks."""
+
+    def __init__(self, shape, n: int, num_classes: int, seed: int = 0):
+        rng = np.random.default_rng(seed)
+        self.x = rng.normal(size=(n, *shape)).astype(np.float32)
+        self.y = rng.integers(0, num_classes, n).astype(np.int32)
+
+    def __len__(self):
+        return len(self.x)
+
+    def __getitem__(self, item):
+        return self.x[item], int(self.y[item])
+
+
 class Synthetic(DatasetFactory):
-    """Synthetic latents+context+panoptic triples shaped like mscoco256_features."""
+    """Synthetic data for tests/benches; `style` selects the task shape:
+    'coco' (moments, context, panoptic), 'imagenet' (moments, label),
+    'pixels' (image, label)."""
 
     def __init__(self, n: int = 256, z_shape=(32, 32, 8), clip_shape=(77, 768),
-                 mask_size: int = 64, panoptic: bool = True, seed: int = 0):
+                 mask_size: int = 64, panoptic: bool = True, seed: int = 0,
+                 style: str = "coco", num_classes: int = 10):
         super().__init__()
-        shapes = [z_shape, clip_shape]
-        int_fields = ()
-        if panoptic:
-            shapes.append((mask_size, mask_size, 1))
-            int_fields = (2,)
-        self.train = SyntheticDataset(shapes, n=n, seed=seed, int_fields=int_fields)
+        self.style = style
+        if style == "coco":
+            shapes = [z_shape, clip_shape]
+            int_fields = ()
+            if panoptic:
+                shapes.append((mask_size, mask_size, 1))
+                int_fields = (2,)
+            self.train = SyntheticDataset(shapes, n=n, seed=seed, int_fields=int_fields)
+            self.empty_context = np.zeros(clip_shape, dtype=np.float32)
+        elif style in ("imagenet", "pixels"):
+            self.train = SyntheticLabeled(z_shape, n, num_classes, seed=seed)
+        else:
+            raise ValueError(style)
         self.test = self.train
-        self.empty_context = np.zeros(clip_shape, dtype=np.float32)
         self._z_shape = z_shape
 
     @property
@@ -453,6 +477,10 @@ class Synthetic(DatasetFactory):
     @property
     def has_label(self):
         return True
+
+    @property
+    def fid_stat(self):
+        return None
 
 
 def get_dataset(name: str, **kwargs) -> DatasetFactory:

@@ -77,3 +77,23 @@ def clip_score_from_dirs(
     if not images:
         raise FileNotFoundError("no (image, caption) pairs found")
     return clip_score(np.stack(images), texts, version=version)
+
+
+def _main():
+    """CLI: python -m panopticdiffusionmodels_tpu.evaluation.clip_score
+    --sample-dir D --caption-dir C (reference tools/clip_score.py:227)."""
+    import argparse
+
+    p = argparse.ArgumentParser(description="CLIP score over a sample directory")
+    p.add_argument("--sample-dir", required=True)
+    p.add_argument("--caption-dir", required=True)
+    p.add_argument("--version", default="openai/clip-vit-base-patch32")
+    args = p.parse_args()
+    print(
+        "CLIP score:",
+        clip_score_from_dirs(args.sample_dir, args.caption_dir, version=args.version),
+    )
+
+
+if __name__ == "__main__":
+    _main()

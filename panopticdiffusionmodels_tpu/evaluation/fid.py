@@ -97,6 +97,30 @@ def fid_given_samples(
     return fid_from_stats((mu, sigma), ref_stat_path)
 
 
+def dir_statistics(
+    path: str,
+    extractor: Callable[[np.ndarray], np.ndarray],
+    batch_size: int = 50,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """(mu, sigma) over every image in a directory."""
+    from PIL import Image
+
+    names = sorted(
+        n for n in os.listdir(path)
+        if n.lower().endswith((".png", ".jpg", ".jpeg"))
+    )
+    imgs, feats = [], []
+    for n in names:
+        img = np.asarray(Image.open(os.path.join(path, n)).convert("RGB"))
+        imgs.append(img.astype(np.float32) / 255.0)
+        if len(imgs) == batch_size:
+            feats.append(np.asarray(extractor(np.stack(imgs))))
+            imgs = []
+    if imgs:
+        feats.append(np.asarray(extractor(np.stack(imgs))))
+    return compute_statistics(np.concatenate(feats, axis=0))
+
+
 def fid_given_paths(
     path_a: str,
     path_b: str,
@@ -109,24 +133,38 @@ def fid_given_paths(
     def stats_for(path):
         if path.endswith(".npz"):
             return load_stats(path)
-        from PIL import Image
-
-        names = sorted(
-            n for n in os.listdir(path)
-            if n.lower().endswith((".png", ".jpg", ".jpeg"))
-        )
-        imgs = []
-        feats = []
-        for n in names:
-            img = np.asarray(Image.open(os.path.join(path, n)).convert("RGB"))
-            imgs.append(img.astype(np.float32) / 255.0)
-            if len(imgs) == batch_size:
-                feats.append(np.asarray(extractor(np.stack(imgs))))
-                imgs = []
-        if imgs:
-            feats.append(np.asarray(extractor(np.stack(imgs))))
-        return compute_statistics(np.concatenate(feats, axis=0))
+        return dir_statistics(path, extractor, batch_size)
 
     a = stats_for(path_a)
     b = stats_for(path_b)
     return frechet_distance(a[0], a[1], b[0], b[1])
+
+
+def _main():
+    """CLI: python -m panopticdiffusionmodels_tpu.evaluation.fid A B
+    (paths: image dirs or .npz stats — the reference tools/fid_score.py CLI)."""
+    import argparse
+
+    p = argparse.ArgumentParser(description="FID between two image dirs / stat files")
+    p.add_argument("path_a")
+    p.add_argument("path_b")
+    p.add_argument("--batch-size", type=int, default=50)
+    p.add_argument(
+        "--inception", default="assets/fid_stats/pt_inception-2015-12-05.pth"
+    )
+    p.add_argument("--save-stats", default=None,
+                   help="compute stats of path_a and write them to this npz instead")
+    args = p.parse_args()
+    from .inception import load_torch_inception_weights, make_extractor
+
+    extractor = make_extractor(load_torch_inception_weights(args.inception))
+    if args.save_stats:
+        mu, sigma = dir_statistics(args.path_a, extractor, args.batch_size)
+        save_stats(args.save_stats, mu, sigma)
+        print(f"saved stats of {args.path_a} to {args.save_stats}")
+        return
+    print("FID:", fid_given_paths(args.path_a, args.path_b, extractor, args.batch_size))
+
+
+if __name__ == "__main__":
+    _main()

@@ -169,3 +169,66 @@ def evaluate(config, workdir: str, n_samples: Optional[int] = None):
 
 def sample_only(config, workdir: str):
     return evaluate(config, workdir, n_samples=config.sample.mini_batch_size)
+
+
+def make_fid_gated_callback(n_samples: Optional[int] = None):
+    """In-training eval callback with best-FID checkpoint retention
+    (reference `train.py:182-196`, `train_t2i_discrete.py:694-710`): every
+    save_interval, sample + score; keep the checkpoint only when FID (or, with
+    no FID assets, eval_loss_mask / nothing) improves."""
+    best = {"fid": None}
+
+    def callback(trainer: Trainer, step: int):
+        from ..train import checkpoint as ckpt_lib
+
+        config = trainer.config
+        fid_stat = trainer.dataset.fid_stat
+        fid_ready = (
+            fid_stat and os.path.exists(fid_stat) and os.path.exists(INCEPTION_WEIGHTS)
+        )
+        if not fid_ready:
+            # No scoring assets: keep every save-interval checkpoint instead of
+            # sampling n_samples for nothing.
+            if jax.process_index() == 0:
+                logging.info("FID assets missing; saving ungated checkpoint")
+                ckpt_lib.save_checkpoint(trainer.ckpt_root, trainer.state)
+            return {}
+        n = n_samples or config.sample.n_samples
+        bs = config.sample.mini_batch_size
+        sample_dir = os.path.join(trainer.workdir, "samples")
+        mask_dir = os.path.join(trainer.workdir, "mask")
+        sample_fn, use_panoptic = make_eval_sample_fn(
+            trainer, config.sample.sample_steps, bs
+        )
+        metrics = sample2dir(
+            sample_dir, n, bs, sample_fn,
+            unpreprocess_fn=trainer.dataset.unpreprocess,
+            use_panoptic=use_panoptic,
+            mask_path=mask_dir,
+            mask_bits=config.nnet.get("mask_bits", 8),
+        )
+        fid = None
+        fid_stat = trainer.dataset.fid_stat
+        if (
+            jax.process_index() == 0
+            and fid_stat and os.path.exists(fid_stat)
+            and os.path.exists(INCEPTION_WEIGHTS)
+        ):
+            from .inception import load_torch_inception_weights, make_extractor
+
+            extractor = make_extractor(load_torch_inception_weights(INCEPTION_WEIGHTS))
+            fid = fid_given_paths(fid_stat, sample_dir, extractor)
+            metrics["fid"] = fid
+            with open(os.path.join(trainer.workdir, "eval.log"), "a") as f:
+                print(f"step={step} fid{n}={fid}", file=f)
+        logging.info(f"eval@{step}: {metrics}")
+        if jax.process_index() == 0:
+            improved = fid is None or best["fid"] is None or fid <= best["fid"]
+            if improved:
+                if fid is not None:
+                    best["fid"] = fid
+                logging.info(f"saving best checkpoint at step {step}")
+                ckpt_lib.save_checkpoint(trainer.ckpt_root, trainer.state)
+        return metrics
+
+    return callback

@@ -1,0 +1,154 @@
+"""Scanned transformer stacks: one compiled block body regardless of depth.
+
+TPU/XLA design: a Python loop over N blocks inlines N copies of the block into
+the jitted program, and a sampler that embeds the network k times multiplies
+that again — compile time scales O(N*k).  `nn.scan` over parameters stacked
+along a leading 'layers' axis compiles the block body ONCE and loops it on
+device, with identical math.  The U-ViT structure maps cleanly:
+
+  * in-stack: carry x, emit per-layer skips as scan ys,
+  * out-stack: carry x, consume the (reversed) stacked skips as scan xs,
+  * dual-stream (panoptic) variants carry (x, m) and run image block, mask
+    block and the zero-conv coupling inside one body.
+
+`use_checkpoint` composes as remat-of-body (the standard remat_scan pattern),
+giving O(sqrt)-style activation memory for deep models.
+"""
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from .layers import Block
+
+Dtype = Any
+
+
+def _scanned(body_cls, length: int, remat: bool, name: str, **body_kwargs):
+    if remat:
+        body_cls = nn.remat(body_cls, prevent_cse=False)
+    scan_cls = nn.scan(
+        body_cls,
+        variable_axes={"params": 0},
+        split_rngs={"params": True},
+        length=length,
+        metadata_params={nn.PARTITION_NAME: None},
+    )
+    return scan_cls(name=name, **body_kwargs)
+
+
+class _BlockBody(nn.Module):
+    num_heads: int
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = False
+    qk_scale: Optional[float] = None
+    skip: bool = False
+    emit_skip: bool = False
+    dtype: Dtype = jnp.float32
+    attn_impl: str = "auto"
+
+    @nn.compact
+    def __call__(self, x, skip):
+        x = Block(
+            num_heads=self.num_heads,
+            mlp_ratio=self.mlp_ratio,
+            qkv_bias=self.qkv_bias,
+            qk_scale=self.qk_scale,
+            skip=self.skip,
+            dtype=self.dtype,
+            attn_impl=self.attn_impl,
+            name="block",
+        )(x, skip)
+        return x, (x if self.emit_skip else None)
+
+
+def in_stack(x, *, length, remat=False, name="in_blocks", **cfg):
+    """x -> (x, skips) with skips stacked (length, B, L, D)."""
+    stack = _scanned(_BlockBody, length, remat, name, emit_skip=True, skip=False, **cfg)
+    return stack(x, None)
+
+
+def out_stack(x, skips, *, length, remat=False, use_skip=True, name="out_blocks", **cfg):
+    """Consume stacked skips in reverse (LIFO, matching the reference's
+    skips.pop(), `libs/uvit.py:221-222`)."""
+    stack = _scanned(_BlockBody, length, remat, name, emit_skip=False, skip=use_skip, **cfg)
+    x, _ = stack(x, skips[::-1] if use_skip else None)
+    return x
+
+
+class _ZeroConvInline(nn.Module):
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.Dense(
+            x.shape[-1],
+            kernel_init=nn.initializers.zeros,
+            bias_init=nn.initializers.zeros,
+            dtype=self.dtype,
+            name="conv",
+        )(x)
+
+
+class _DualBody(nn.Module):
+    """One coupled layer of the dual-stream panoptic U-ViT: image block +
+    mask-stream block over [x ; m] + zero-conv gate (semantics of reference
+    `libs/uvit_t2i.py:419-473`)."""
+
+    img_len: int
+    num_heads: int
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = False
+    qk_scale: Optional[float] = None
+    skip: bool = False
+    emit_skip: bool = False
+    dtype: Dtype = jnp.float32
+    attn_impl: str = "auto"
+
+    @nn.compact
+    def __call__(self, carry, skips):
+        x, m = carry
+        skip_x, skip_mx = skips if skips is not None else (None, None)
+        mx = jnp.concatenate([x, m], axis=1)
+
+        def blk(name, skip_on):
+            return Block(
+                num_heads=self.num_heads,
+                mlp_ratio=self.mlp_ratio,
+                qkv_bias=self.qkv_bias,
+                qk_scale=self.qk_scale,
+                skip=skip_on,
+                dtype=self.dtype,
+                attn_impl=self.attn_impl,
+                name=name,
+            )
+
+        x = blk("block", self.skip)(x, skip_x)
+        mx = blk("block_mask", self.skip)(mx, skip_mx)
+        x_add = _ZeroConvInline(dtype=self.dtype, name="zero_conv")(
+            mx[:, : self.img_len, :]
+        )
+        x = x + x_add
+        m = mx[:, self.img_len :, :]
+        ys = (x, mx) if self.emit_skip else None
+        return (x, m), ys
+
+
+def dual_in_stack(x, m, *, img_len, length, remat=False, name="in_blocks_dual", **cfg):
+    stack = _scanned(
+        _DualBody, length, remat, name, img_len=img_len, emit_skip=True, skip=False, **cfg
+    )
+    (x, m), (skips_x, skips_mx) = stack((x, m), None)
+    return x, m, skips_x, skips_mx
+
+
+def dual_out_stack(x, m, skips_x, skips_mx, *, img_len, length, remat=False,
+                   use_skip=True, name="out_blocks_dual", **cfg):
+    stack = _scanned(
+        _DualBody, length, remat, name, img_len=img_len, emit_skip=False, skip=use_skip, **cfg
+    )
+    xs = (skips_x[::-1], skips_mx[::-1]) if use_skip else None
+    (x, m), _ = stack((x, m), xs)
+    return x, m

@@ -55,6 +55,10 @@ class UViT(nn.Module):
     use_checkpoint: bool = False
     conv: bool = True
     skip: bool = True
+    # Compile the block body once and lax.scan it over stacked per-layer params
+    # (see scan_stack.py) — same math, O(1)-in-depth compile time.  Recommended
+    # for deep models and anything embedded in a multi-NFE sampler program.
+    scan_blocks: bool = False
     dtype: Dtype = jnp.float32
     attn_impl: str = "auto"
 
@@ -117,15 +121,36 @@ class UViT(nn.Module):
                 name=name,
             )
 
-        skips = []
-        for i in range(self.depth // 2):
-            x = make_block(f"in_blocks_{i}")(x)
-            skips.append(x)
+        if self.scan_blocks:
+            from .scan_stack import in_stack, out_stack
 
-        x = make_block("mid_block")(x)
+            stack_cfg = dict(
+                num_heads=self.num_heads,
+                mlp_ratio=self.mlp_ratio,
+                qkv_bias=self.qkv_bias,
+                qk_scale=self.qk_scale,
+                dtype=self.dtype,
+                attn_impl=self.attn_impl,
+            )
+            x, skips = in_stack(
+                x, length=self.depth // 2, remat=self.use_checkpoint,
+                name="in_blocks", **stack_cfg,
+            )
+            x = make_block("mid_block")(x)
+            x = out_stack(
+                x, skips, length=self.depth // 2, remat=self.use_checkpoint,
+                use_skip=self.skip, name="out_blocks", **stack_cfg,
+            )
+        else:
+            skips = []
+            for i in range(self.depth // 2):
+                x = make_block(f"in_blocks_{i}")(x)
+                skips.append(x)
 
-        for i in range(self.depth // 2):
-            x = make_block(f"out_blocks_{i}", skip=self.skip)(x, skips.pop())
+            x = make_block("mid_block")(x)
+
+            for i in range(self.depth // 2):
+                x = make_block(f"out_blocks_{i}", skip=self.skip)(x, skips.pop())
 
         x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
         patch_dim = self.patch_size ** 2 * self.in_chans

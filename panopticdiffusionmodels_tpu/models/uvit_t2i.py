@@ -93,6 +93,8 @@ class UViTT2I(nn.Module):
     mask_bits: int = 8  # analog-bit channels (reference num_panoptic_class=8)
     mask_size: int = 64  # mask spatial resolution (2x latent by default)
     use_checkpoint: bool = False
+    # Scan stacked per-layer params instead of unrolling (see scan_stack.py).
+    scan_blocks: bool = False
     dtype: Dtype = jnp.float32
     attn_impl: str = "auto"
 
@@ -204,33 +206,75 @@ class UViTT2I(nn.Module):
             x_add = ZeroConv(dtype=self.dtype, name=zc_name)(mx[:, :img_len, :])
             return x + x_add, mx[:, img_len:, :]
 
-        skips, skips_mask = [], []
-        for i in range(self.depth // 2):
-            if dual:
-                mx = jnp.concatenate([x, m], axis=1)
-            x = make_block(f"in_blocks_{i}")(x)
-            if dual:
-                mx = make_block(f"in_blocks_mask_{i}")(mx)
-                x, m = couple(mx, x, f"zero_convs_in_{i}")
-                skips_mask.append(mx)
-            skips.append(x)
+        if self.scan_blocks:
+            from .scan_stack import (
+                dual_in_stack,
+                dual_out_stack,
+                in_stack,
+                out_stack,
+            )
 
-        if dual:
-            mx = jnp.concatenate([x, m], axis=1)
-        x = make_block("mid_block")(x)
-        if dual:
-            mx = make_block("mid_block_mask")(mx)
-            x, m = couple(mx, x, "zero_convs_mid")
-
-        for i in range(self.depth // 2):
+            stack_cfg = dict(
+                num_heads=self.num_heads,
+                mlp_ratio=self.mlp_ratio,
+                qkv_bias=self.qkv_bias,
+                qk_scale=self.qk_scale,
+                dtype=self.dtype,
+                attn_impl=self.attn_impl,
+            )
+            half = self.depth // 2
             if dual:
-                mx = jnp.concatenate([x, m], axis=1)
-            x = make_block(f"out_blocks_{i}", skip=self.skip)(x, skips.pop())
-            if dual:
-                mx = make_block(f"out_blocks_mask_{i}", skip=self.skip)(
-                    mx, skips_mask.pop()
+                x, m, skips_x, skips_mx = dual_in_stack(
+                    x, m, img_len=img_len, length=half,
+                    remat=self.use_checkpoint, name="in_blocks_dual", **stack_cfg,
                 )
-                x, m = couple(mx, x, f"zero_convs_out_{i}")
+                mx = jnp.concatenate([x, m], axis=1)
+                x = make_block("mid_block")(x)
+                mx = make_block("mid_block_mask")(mx)
+                x, m = couple(mx, x, "zero_convs_mid")
+                x, m = dual_out_stack(
+                    x, m, skips_x, skips_mx, img_len=img_len, length=half,
+                    remat=self.use_checkpoint, use_skip=self.skip,
+                    name="out_blocks_dual", **stack_cfg,
+                )
+            else:
+                x, skips = in_stack(
+                    x, length=half, remat=self.use_checkpoint,
+                    name="in_blocks", **stack_cfg,
+                )
+                x = make_block("mid_block")(x)
+                x = out_stack(
+                    x, skips, length=half, remat=self.use_checkpoint,
+                    use_skip=self.skip, name="out_blocks", **stack_cfg,
+                )
+        else:
+            skips, skips_mask = [], []
+            for i in range(self.depth // 2):
+                if dual:
+                    mx = jnp.concatenate([x, m], axis=1)
+                x = make_block(f"in_blocks_{i}")(x)
+                if dual:
+                    mx = make_block(f"in_blocks_mask_{i}")(mx)
+                    x, m = couple(mx, x, f"zero_convs_in_{i}")
+                    skips_mask.append(mx)
+                skips.append(x)
+
+            if dual:
+                mx = jnp.concatenate([x, m], axis=1)
+            x = make_block("mid_block")(x)
+            if dual:
+                mx = make_block("mid_block_mask")(mx)
+                x, m = couple(mx, x, "zero_convs_mid")
+
+            for i in range(self.depth // 2):
+                if dual:
+                    mx = jnp.concatenate([x, m], axis=1)
+                x = make_block(f"out_blocks_{i}", skip=self.skip)(x, skips.pop())
+                if dual:
+                    mx = make_block(f"out_blocks_mask_{i}", skip=self.skip)(
+                        mx, skips_mask.pop()
+                    )
+                    x, m = couple(mx, x, f"zero_convs_out_{i}")
 
         x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
 

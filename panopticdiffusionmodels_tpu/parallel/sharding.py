@@ -32,14 +32,15 @@ def _spec_for(path: Tuple[str, ...], shape, mesh: Mesh) -> P:
     fsdp = mesh.shape["fsdp"]
     names = [None] * len(shape)
     path_strs = [str(getattr(k, "key", k)) for k in path]
-    is_kernel = path_strs and path_strs[-1] == "kernel" and len(shape) == 2
+    # 2-D kernels, or 3-D with a leading stacked-layers axis (scan_blocks).
+    is_kernel = path_strs and path_strs[-1] == "kernel" and len(shape) in (2, 3)
 
     if tp > 1 and is_kernel:
         owner = path_strs[-2] if len(path_strs) >= 2 else ""
-        if owner in _TP_COL and shape[1] % tp == 0:
-            names[1] = "tp"
-        elif owner in _TP_ROW and shape[0] % tp == 0:
-            names[0] = "tp"
+        if owner in _TP_COL and shape[-1] % tp == 0:
+            names[-1] = "tp"
+        elif owner in _TP_ROW and shape[-2] % tp == 0:
+            names[-2] = "tp"
 
     if fsdp > 1:
         size = 1

@@ -295,6 +295,9 @@ class Trainer:
         (loss, metrics), grads = jax.value_and_grad(self._loss, has_aux=True)(
             state.params, batch, key
         )
+        import optax
+
+        metrics["grad_norm"] = optax.global_norm(grads)
         new_state = state.apply_gradients(
             grads, ema_rate=self.config.get("ema_rate", 0.9999)
         )
@@ -504,16 +507,32 @@ class Trainer:
                 m = {k: float(v) for k, v in metrics.items()}
                 m["step"] = step
                 m["steps_per_sec"] = log_interval / max(time.time() - t0, 1e-9)
+                m["images_per_sec"] = m["steps_per_sec"] * config.train.batch_size
                 t0 = time.time()
                 metrics_hist.append(m)
                 if jax.process_index() == 0:
                     logging.info(dct2str(m))
+                    self._append_metrics(m)
             if save_interval and step % save_interval == 0:
-                if jax.process_index() == 0:
-                    ckpt_lib.save_checkpoint(self.ckpt_root, self.state)
                 if eval_callback is not None:
+                    # The callback owns checkpoint retention (e.g. best-FID
+                    # gating, reference `train.py:182-196`).
                     eval_callback(self, step)
+                elif jax.process_index() == 0:
+                    ckpt_lib.save_checkpoint(self.ckpt_root, self.state)
         return metrics_hist
+
+
+    def _append_metrics(self, m: dict):
+        """Structured metrics stream (workdir/metrics.jsonl) — the wandb-scalar
+        role of the reference (`train.py:162`), dependency-free."""
+        import json
+
+        try:
+            with open(os.path.join(self.workdir, "metrics.jsonl"), "a") as f:
+                f.write(json.dumps(m) + "\n")
+        except OSError:
+            pass
 
 
 def _merge_params(params, loaded):

@@ -90,9 +90,19 @@ def _time_embed(sd, prefix, mlp_time_embed: bool):
     return {"fc1": _linear(sd, f"{prefix}.0"), "fc2": _linear(sd, f"{prefix}.2")}
 
 
+def _stack_trees(trees):
+    """Stack a list of identical param trees along a new leading 'layers' axis
+    (the scan_blocks layout, see models/scan_stack.py)."""
+    import jax
+
+    return jax.tree.map(lambda *xs: np.stack(xs), *trees)
+
+
 def convert_uvit(sd: Mapping[str, np.ndarray], *, depth: int, mlp_time_embed: bool = False,
-                 num_classes: int = -1, conv: bool = True) -> dict:
-    """Reference `libs/uvit.py` UViT state dict -> flax params['params']."""
+                 num_classes: int = -1, conv: bool = True,
+                 scan_blocks: bool = False) -> dict:
+    """Reference `libs/uvit.py` UViT state dict -> flax params['params'].
+    scan_blocks=True emits the stacked scan layout."""
     p: Dict[str, dict] = {}
     p["patch_embed"] = _patch_embed(sd, "patch_embed.proj")
     te = _time_embed(sd, "time_embed", mlp_time_embed)
@@ -101,11 +111,24 @@ def convert_uvit(sd: Mapping[str, np.ndarray], *, depth: int, mlp_time_embed: bo
     if num_classes > 0:
         p["label_emb"] = {"embedding": sd["label_emb.weight"]}
     p["pos_embed"] = sd["pos_embed"]
-    for i in range(depth // 2):
-        p[f"in_blocks_{i}"] = _block(sd, f"in_blocks.{i}", skip=False)
-    p["mid_block"] = _block(sd, "mid_block", skip=False)
-    for i in range(depth // 2):
-        p[f"out_blocks_{i}"] = _block(sd, f"out_blocks.{i}", skip=True)
+    if scan_blocks:
+        p["in_blocks"] = {
+            "block": _stack_trees(
+                [_block(sd, f"in_blocks.{i}", skip=False) for i in range(depth // 2)]
+            )
+        }
+        p["mid_block"] = _block(sd, "mid_block", skip=False)
+        p["out_blocks"] = {
+            "block": _stack_trees(
+                [_block(sd, f"out_blocks.{i}", skip=True) for i in range(depth // 2)]
+            )
+        }
+    else:
+        for i in range(depth // 2):
+            p[f"in_blocks_{i}"] = _block(sd, f"in_blocks.{i}", skip=False)
+        p["mid_block"] = _block(sd, "mid_block", skip=False)
+        for i in range(depth // 2):
+            p[f"out_blocks_{i}"] = _block(sd, f"out_blocks.{i}", skip=True)
     p["norm"] = _norm(sd, "norm")
     p["decoder_pred"] = _linear(sd, "decoder_pred")
     if conv and "final_layer.weight" in sd:
@@ -121,13 +144,16 @@ def convert_uvit_t2i(
     conv: bool = True,
     enable_panoptic: bool = True,
     separate: bool = True,
+    scan_blocks: bool = False,
 ) -> dict:
     """Reference `libs/uvit_t2i.py` UViT state dict -> flax params['params'].
 
     Zero-conv mapping: the reference allocates 2*depth+2 Conv1d layers but only
     uses the odd indices 2*i+1 (`libs/uvit_t2i.py:435,452,470`); those map to our
-    zero_convs_in_{i} / zero_convs_mid / zero_convs_out_{i}.
+    zero_convs_in_{i} / zero_convs_mid / zero_convs_out_{i} (or the stacked
+    `zero_conv` leaves of the dual scan stacks when scan_blocks=True).
     """
+    half = depth // 2
     p: Dict[str, dict] = {}
     p["patch_embed"] = _patch_embed(sd, "patch_embed.proj")
     te = _time_embed(sd, "time_embed", mlp_time_embed)
@@ -135,36 +161,80 @@ def convert_uvit_t2i(
         p["time_embed"] = te
     p["context_embed"] = _linear(sd, "context_embed")
     p["pos_embed"] = sd["pos_embed"]
-    for i in range(depth // 2):
-        p[f"in_blocks_{i}"] = _block(sd, f"in_blocks.{i}", skip=False)
-    p["mid_block"] = _block(sd, "mid_block", skip=False)
-    for i in range(depth // 2):
-        p[f"out_blocks_{i}"] = _block(sd, f"out_blocks.{i}", skip=True)
     p["norm"] = _norm(sd, "norm")
     p["decoder_pred"] = _linear(sd, "decoder_pred")
     if conv and "final_layer.weight" in sd:
         p["final_layer"] = {"conv": _conv2d(sd, "final_layer")}
+    p["mid_block"] = _block(sd, "mid_block", skip=False)
 
-    if enable_panoptic and "mask_embed.proj.weight" in sd:
+    panoptic = enable_panoptic and "mask_embed.proj.weight" in sd
+    if panoptic:
         p["mask_embed"] = _patch_embed(sd, "mask_embed.proj")
         p["decoder_pred_mask"] = _linear(sd, "decoder_pred_mask")
         if conv and "final_layer_mask.weight" in sd:
             p["final_layer_mask"] = {"conv": _conv2d(sd, "final_layer_mask")}
         if separate:
             p["pos_embed_mask"] = sd["pos_embed_mask"]
-            for i in range(depth // 2):
-                p[f"in_blocks_mask_{i}"] = _block(sd, f"in_blocks_mask.{i}", skip=False)
             p["mid_block_mask"] = _block(sd, "mid_block_mask", skip=False)
-            for i in range(depth // 2):
+            p["zero_convs_mid"] = {
+                "conv": _conv1d_as_dense(sd, f"zero_convs.{2 * half + 1}.conv")
+            }
+
+    dual = panoptic and separate
+    if scan_blocks and dual:
+        p["in_blocks_dual"] = {
+            "block": _stack_trees(
+                [_block(sd, f"in_blocks.{i}", skip=False) for i in range(half)]
+            ),
+            "block_mask": _stack_trees(
+                [_block(sd, f"in_blocks_mask.{i}", skip=False) for i in range(half)]
+            ),
+            "zero_conv": _stack_trees(
+                [
+                    {"conv": _conv1d_as_dense(sd, f"zero_convs.{2 * i + 1}.conv")}
+                    for i in range(half)
+                ]
+            ),
+        }
+        p["out_blocks_dual"] = {
+            "block": _stack_trees(
+                [_block(sd, f"out_blocks.{i}", skip=True) for i in range(half)]
+            ),
+            "block_mask": _stack_trees(
+                [_block(sd, f"out_blocks_mask.{i}", skip=True) for i in range(half)]
+            ),
+            "zero_conv": _stack_trees(
+                [
+                    {"conv": _conv1d_as_dense(sd, f"zero_convs.{2 * (half + 1 + i) + 1}.conv")}
+                    for i in range(half)
+                ]
+            ),
+        }
+    elif scan_blocks:
+        p["in_blocks"] = {
+            "block": _stack_trees(
+                [_block(sd, f"in_blocks.{i}", skip=False) for i in range(half)]
+            )
+        }
+        p["out_blocks"] = {
+            "block": _stack_trees(
+                [_block(sd, f"out_blocks.{i}", skip=True) for i in range(half)]
+            )
+        }
+    else:
+        for i in range(half):
+            p[f"in_blocks_{i}"] = _block(sd, f"in_blocks.{i}", skip=False)
+        for i in range(half):
+            p[f"out_blocks_{i}"] = _block(sd, f"out_blocks.{i}", skip=True)
+        if dual:
+            for i in range(half):
+                p[f"in_blocks_mask_{i}"] = _block(sd, f"in_blocks_mask.{i}", skip=False)
+            for i in range(half):
                 p[f"out_blocks_mask_{i}"] = _block(sd, f"out_blocks_mask.{i}", skip=True)
-            half = depth // 2
             for i in range(half):
                 p[f"zero_convs_in_{i}"] = {
                     "conv": _conv1d_as_dense(sd, f"zero_convs.{2 * i + 1}.conv")
                 }
-            p["zero_convs_mid"] = {
-                "conv": _conv1d_as_dense(sd, f"zero_convs.{2 * half + 1}.conv")
-            }
             for i in range(half):
                 li = half + 1 + i
                 p[f"zero_convs_out_{i}"] = {

@@ -116,6 +116,76 @@ def test_uvit_t2i_panoptic_forward_parity():
     )
 
 
+def test_uvit_scan_bridge_parity():
+    """torch weights -> stacked scan layout must match the torch forward too."""
+    import libs.uvit as ref_uvit
+
+    torch.manual_seed(1)
+    tmodel = ref_uvit.UViT(
+        img_size=8, patch_size=2, in_chans=3, embed_dim=32, depth=6, num_heads=4,
+        mlp_ratio=2.0, num_classes=-1,
+    ).eval()
+    x = torch.randn(2, 3, 8, 8)
+    t = torch.tensor([5.0, 100.0])
+    with torch.no_grad():
+        ref_out = tmodel(x, t)
+    params = convert_uvit(_to_numpy_sd(tmodel), depth=6, scan_blocks=True)
+    jmodel = UViT(
+        img_size=8, patch_size=2, in_chans=3, embed_dim=32, depth=6, num_heads=4,
+        mlp_ratio=2.0, scan_blocks=True, attn_impl="xla",
+    )
+    out = jmodel.apply(
+        jax.tree.map(jnp.asarray, params),
+        jnp.asarray(x.numpy().transpose(0, 2, 3, 1)), jnp.asarray(t.numpy()),
+    )
+    np.testing.assert_allclose(
+        np.asarray(out).transpose(0, 3, 1, 2), ref_out.numpy(), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_uvit_t2i_scan_bridge_parity():
+    import libs.uvit_t2i as ref_t2i
+
+    torch.manual_seed(2)
+    depth = 4
+    tmodel = ref_t2i.UViT(
+        img_size=8, patch_size=2, in_chans=4, embed_dim=32, depth=depth, num_heads=4,
+        mlp_ratio=2.0, mlp_time_embed=False, clip_dim=16, num_clip_token=7,
+        num_panoptic_class=8, enable_panoptic=True, separate=True,
+    ).eval()
+    with torch.no_grad():
+        for zc in tmodel.zero_convs:
+            zc.conv.weight.normal_(0, 0.02)
+            zc.conv.bias.normal_(0, 0.02)
+    x = torch.randn(2, 4, 8, 8)
+    t = torch.tensor([10.0, 900.0])
+    ctx = torch.randn(2, 7, 16)
+    mask = torch.randn(2, 8, 8, 8)
+    with torch.no_grad():
+        ref_noise, ref_mask = tmodel(
+            x, t, ctx, mask_token=mask, use_ground_truth=False, enable_panoptic=True
+        )
+    params = convert_uvit_t2i(_to_numpy_sd(tmodel), depth=depth, scan_blocks=True)
+    jmodel = UViTT2I(
+        img_size=8, patch_size=2, in_chans=4, embed_dim=32, depth=depth, num_heads=4,
+        mlp_ratio=2.0, clip_dim=16, num_clip_token=7, mask_bits=8, mask_size=8,
+        enable_panoptic=True, separate=True, scan_blocks=True, attn_impl="xla",
+    )
+    noise, mask_pred = jmodel.apply(
+        jax.tree.map(jnp.asarray, params),
+        jnp.asarray(x.numpy().transpose(0, 2, 3, 1)),
+        jnp.asarray(t.numpy()),
+        jnp.asarray(ctx.numpy()),
+        mask_token=jnp.asarray(mask.numpy().transpose(0, 2, 3, 1)),
+    )
+    np.testing.assert_allclose(
+        np.asarray(noise).transpose(0, 3, 1, 2), ref_noise.numpy(), rtol=1e-4, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(mask_pred).transpose(0, 3, 1, 2), ref_mask.numpy(), rtol=1e-4, atol=1e-5
+    )
+
+
 def test_autoencoder_parity():
     import libs.autoencoder as ref_ae
 

@@ -1,0 +1,113 @@
+"""Engine coverage for every task family (pixel_sde / latent_sde /
+latent_discrete / t2i non-panoptic) on synthetic data."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from panopticdiffusionmodels_tpu.configs.base import (
+    adamw,
+    autoencoder_block,
+    base_config,
+    d,
+    sample_block,
+    train_block,
+    uvit,
+    uvit_t2i,
+    warmup,
+)
+from panopticdiffusionmodels_tpu.train.trainer import Trainer, infer_task
+
+
+def _common(config):
+    config.compute_dtype = "float32"
+    config.optimizer = adamw(2e-4, 0.03, (0.9, 0.99))
+    config.lr_scheduler = warmup(5)
+    return config
+
+
+def _pixel_sde_config(mode):
+    config = _common(base_config())
+    config.train = train_block(10, 16, mode=mode, log_interval=2, save_interval=0)
+    config.nnet = uvit(img_size=8, patch_size=2, in_chans=3, embed_dim=32, depth=4,
+                       num_heads=4, mlp_ratio=2,
+                       num_classes=(10 if mode == "cond" else -1))
+    config.dataset = d(name="synthetic", style="pixels", n=64, z_shape=(8, 8, 3),
+                       num_classes=10)
+    config.sample = sample_block(20, 8, 4, algorithm="euler_maruyama_sde")
+    return config
+
+
+def _latent_discrete_config():
+    config = _common(base_config())
+    config.z_shape = (8, 8, 4)
+    config.autoencoder = autoencoder_block(scale_factor=0.23)
+    config.train = train_block(10, 16, mode="cond", log_interval=2, save_interval=0)
+    config.nnet = uvit(img_size=8, patch_size=2, in_chans=4, embed_dim=32, depth=4,
+                       num_heads=4, mlp_ratio=2, num_classes=11)
+    config.dataset = d(name="synthetic", style="imagenet", n=64, z_shape=(8, 8, 8),
+                       num_classes=11)
+    config.sample = sample_block(9, 8, 4, algorithm="dpm_solver", cfg=True, scale=0.4)
+    return config
+
+
+def _t2i_plain_config():
+    config = _common(base_config())
+    config.z_shape = (8, 8, 4)
+    config.autoencoder = autoencoder_block(scale_factor=0.23)
+    config.train = train_block(10, 16, log_interval=2, save_interval=0)
+    config.nnet = uvit_t2i(img_size=8, patch_size=2, embed_dim=32, depth=4,
+                           num_heads=4, mlp_ratio=2, clip_dim=16, num_clip_token=7,
+                           enable_panoptic=False, separate=False)
+    config.dataset = d(name="synthetic", style="coco", n=64, z_shape=(8, 8, 8),
+                       clip_shape=(7, 16), panoptic=False)
+    config.sample = sample_block(9, 8, 4, algorithm="dpm_solver", cfg=True, scale=1.0)
+    return config
+
+
+@pytest.mark.parametrize("mode", ["uncond", "cond"])
+def test_pixel_sde_task(mode, tmp_path):
+    config = _pixel_sde_config(mode)
+    trainer = Trainer(config, str(tmp_path))
+    assert trainer.task == "pixel_sde"
+    metrics = trainer.fit(max_steps=4)
+    assert all(np.isfinite(m["loss"]) for m in metrics)
+    # EM sampler end to end
+    sample_fn = jax.jit(trainer.build_sample_fn(sample_steps=5), static_argnames="n")
+    if mode == "cond":
+        out = sample_fn(jax.random.PRNGKey(0), jnp.array([1, 2]), n=2)
+    else:
+        out = sample_fn(jax.random.PRNGKey(0), None, n=2)
+    assert out.shape == (2, 8, 8, 3)
+    assert bool(jnp.isfinite(out).all())
+
+
+def test_latent_discrete_task(tmp_path):
+    config = _latent_discrete_config()
+    trainer = Trainer(config, str(tmp_path))
+    assert trainer.task == "latent_discrete"
+    metrics = trainer.fit(max_steps=4)
+    assert all(np.isfinite(m["loss"]) for m in metrics)
+    sample_fn = jax.jit(trainer.build_sample_fn(sample_steps=6))
+    out = sample_fn(jax.random.PRNGKey(0), jnp.array([3, 7]))
+    assert out.shape == (2, 8, 8, 4)  # no VAE weights -> latent space
+    assert bool(jnp.isfinite(out).all())
+
+
+def test_t2i_without_panoptic(tmp_path):
+    config = _t2i_plain_config()
+    trainer = Trainer(config, str(tmp_path))
+    assert trainer.task == "t2i_discrete"
+    metrics = trainer.fit(max_steps=4)
+    assert all(np.isfinite(m["loss"]) for m in metrics)
+    assert "loss_mask" not in metrics[0]
+    sample_fn = jax.jit(trainer.build_sample_fn(sample_steps=6))
+    out = sample_fn(jax.random.PRNGKey(0), jnp.zeros((2, 7, 16)))
+    assert out.shape == (2, 8, 8, 4)
+
+
+def test_grad_norm_metric(tmp_path):
+    config = _t2i_plain_config()
+    trainer = Trainer(config, str(tmp_path))
+    metrics = trainer.fit(max_steps=2)
+    assert metrics and metrics[-1]["grad_norm"] > 0
