@@ -104,11 +104,14 @@ def main_train(argv=None):
     set_logger("info", os.path.join(wd, "output.log") if os.path.isdir(wd) else None)
     logging.info(f"workdir: {wd}")
 
-    from .evaluation.runner import make_fid_gated_callback
+    from .evaluation.runner import make_fid_gated_callback, make_vis_callback
     from .train.trainer import Trainer
 
     trainer = Trainer(config, wd)
-    trainer.fit(eval_callback=make_fid_gated_callback())
+    trainer.fit(
+        eval_callback=make_fid_gated_callback(),
+        vis_callback=make_vis_callback(sample_steps=config.sample.sample_steps),
+    )
 
 
 def main_eval(argv=None):

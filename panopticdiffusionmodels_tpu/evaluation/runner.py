@@ -171,6 +171,54 @@ def sample_only(config, workdir: str):
     return evaluate(config, workdir, n_samples=config.sample.mini_batch_size)
 
 
+def make_vis_callback(n_images: int = 16, sample_steps: int = 50):
+    """Periodic sample-grid writer (the reference's wandb image grids,
+    `train.py:166-178`, `train_t2i_discrete.py:637-689`): writes
+    workdir/train_samples/{step}.png (+ {step}_mask.png for panoptic)."""
+    cache = {}
+
+    def callback(trainer: Trainer, step: int):
+        if jax.process_index() != 0:
+            return
+        from ..diffusion.analog_bits import bits2int
+        from .mask_metrics import color_map
+        from .sampler_io import save_grid
+
+        import jax.numpy as jnp
+
+        n = min(n_images, trainer.config.sample.mini_batch_size)
+        if "fn" not in cache:
+            cache["fn"] = jax.jit(trainer.build_sample_fn(sample_steps))
+        key = jax.random.fold_in(jax.random.PRNGKey(trainer.config.seed + 99), step)
+        task = trainer.task
+        out_dir = os.path.join(trainer.workdir, "train_samples")
+        os.makedirs(out_dir, exist_ok=True)
+        if task == "t2i_discrete":
+            test = trainer.dataset.get_split("test", labeled=True)
+            ctx = np.stack([np.asarray(test[i][1]) for i in range(n)])
+            out = cache["fn"](key, jnp.asarray(ctx))
+        elif task == "latent_discrete" or trainer.config.train.get("mode") == "cond":
+            y = jax.random.randint(key, (n,), 0, 1000)
+            out = cache["fn"](key, y)
+        else:
+            out = cache["fn"](key, None, n)
+        if isinstance(out, tuple):
+            samples, pred_mask = out
+            ids = np.asarray(
+                bits2int(np.asarray(pred_mask) > 0,
+                         n=trainer.config.nnet.get("mask_bits", 8))
+            )
+            colors = color_map(ids).astype(np.float32) / 255.0
+            save_grid(colors, os.path.join(out_dir, f"{step}_mask.png"))
+        else:
+            samples = out
+        samples01 = trainer.dataset.unpreprocess(np.asarray(samples, dtype=np.float32))
+        save_grid(samples01, os.path.join(out_dir, f"{step}.png"))
+        logging.info(f"wrote sample grid at step {step}")
+
+    return callback
+
+
 def make_fid_gated_callback(n_samples: Optional[int] = None):
     """In-training eval callback with best-FID checkpoint retention
     (reference `train.py:182-196`, `train_t2i_discrete.py:694-710`): every

@@ -29,6 +29,27 @@ def _save_png(arr01: np.ndarray, path: str):
     Image.fromarray(arr).save(path)
 
 
+def make_grid(images01: np.ndarray, ncol: int = 8, pad: int = 2) -> np.ndarray:
+    """Tile [0,1] NHWC images into one grid image (the reference's
+    torchvision.make_grid role, `train.py:167`)."""
+    n, h, w, c = images01.shape
+    ncol = min(ncol, n)
+    nrow = (n + ncol - 1) // ncol
+    grid = np.ones(
+        (nrow * (h + pad) + pad, ncol * (w + pad) + pad, c), dtype=np.float32
+    )
+    for i in range(n):
+        r, col = divmod(i, ncol)
+        y0 = pad + r * (h + pad)
+        x0 = pad + col * (w + pad)
+        grid[y0 : y0 + h, x0 : x0 + w] = images01[i]
+    return grid
+
+
+def save_grid(images01: np.ndarray, path: str, ncol: int = 8):
+    _save_png(make_grid(images01, ncol), path)
+
+
 def sample2dir(
     path: str,
     n_samples: int,

@@ -484,18 +484,21 @@ class Trainer:
     def fit(
         self,
         eval_callback: Optional[Callable] = None,
+        vis_callback: Optional[Callable] = None,
         max_steps: Optional[int] = None,
     ):
         """Train to config.train.n_steps; returns final metrics.
 
-        eval_callback(trainer, step) runs every save_interval (FID etc. — wiring
-        lives in evaluation/, kept out of the hot path)."""
+        eval_callback(trainer, step) runs every save_interval (FID etc.);
+        vis_callback(trainer, step) every eval_interval (sample grids) — both
+        live in evaluation/, kept out of the hot path."""
         config = self.config
         stream = self.data_stream()
         self.resume()
         n_steps = max_steps or config.train.n_steps
         log_interval = config.train.get("log_interval", 10)
         save_interval = config.train.get("save_interval", 50000)
+        eval_interval = config.train.get("eval_interval", 0)
         metrics_hist = []
         t0 = time.time()
         while int(self.state.step) < n_steps:
@@ -513,6 +516,8 @@ class Trainer:
                 if jax.process_index() == 0:
                     logging.info(dct2str(m))
                     self._append_metrics(m)
+            if vis_callback is not None and eval_interval and step % eval_interval == 0:
+                vis_callback(self, step)
             if save_interval and step % save_interval == 0:
                 if eval_callback is not None:
                     # The callback owns checkpoint retention (e.g. best-FID
