@@ -5,7 +5,9 @@ Protocol (BASELINE.md): 50-NFE order-3 DPM-Solver-fast with classifier-free
 guidance (CFG scale 0.4, null class 1000) and the SD KL-VAE decode — the exact
 configuration of the reference's published ImageNet-256 FID protocol
 (reference `configs/imagenet256_uvit_large.py`, `train_ldm_discrete.py`).
-Weights are randomly initialized (throughput is weight-independent).
+Weights are randomly initialized (throughput is weight-independent) and passed
+as ARGUMENTS to the jitted pipeline (closure-captured weights would be baked
+into the program as constants).
 
 The whole pipeline — fused 2x-batch CFG forward, all solver steps, VAE decode —
 compiles into ONE XLA program; the reference instead runs a Python loop with two
@@ -26,12 +28,9 @@ import time
 
 A100_BASELINE_EST = 4.0  # img/s/chip, see module docstring
 
-os.environ.setdefault("JAX_PLATFORMS", os.environ.get("JAX_PLATFORMS", ""))
-
 import jax
 
-# Persistent compilation cache: the 50-NFE program is large and first-compile
-# over a remote-tunnel TPU is slow; cached recompiles are seconds.
+# Persistent compilation cache: recompiles after the first run are seconds.
 jax.config.update("jax_compilation_cache_dir", os.environ.get("JAX_CACHE_DIR", "/root/.jax_cache"))
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
@@ -54,25 +53,25 @@ def build_pipeline(batch_size: int):
         img_size=32, patch_size=2, in_chans=4, embed_dim=1024, depth=20,
         num_heads=16, num_classes=1001, dtype=jnp.bfloat16, scan_blocks=True,
     )
-    key = jax.random.PRNGKey(0)
-    params = model.init(
-        key, jnp.zeros((1, 32, 32, 4)), jnp.zeros((1,)), jnp.zeros((1,), jnp.int32)
+    params = jax.jit(model.init)(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, 32, 32, 4)), jnp.zeros((1,)), jnp.zeros((1,), jnp.int32),
     )
     vae = get_vae(dtype=jnp.bfloat16)
-    vae_params = vae.init(
-        jax.random.PRNGKey(1), jnp.zeros((1, 32, 32, 4)), method="decode"
-    )
+    vae_params = jax.jit(
+        lambda k: vae.init(k, jnp.zeros((1, 32, 32, 4)), method="decode")
+    )(jax.random.PRNGKey(1))
 
     betas = stable_diffusion_beta_schedule()
     schedule = Schedule(betas)
     ns = NoiseScheduleVP("discrete", betas=betas)
-    cfg_fn = make_cfg_class_cond(
-        lambda xx, tt, yy: model.apply(params, xx, tt, yy),
-        null_label=1000, scale=0.4, enabled=True,
-    )
 
     @jax.jit
-    def pipeline(key, y):
+    def pipeline(params, vae_params, key, y):
+        cfg_fn = make_cfg_class_cond(
+            lambda xx, tt, yy: model.apply(params, xx, tt, yy),
+            null_label=1000, scale=0.4, enabled=True,
+        )
         solver = DPMSolver(
             lambda xx, tt, mask_token=None: cfg_fn(xx, tt * schedule.N, y),
             ns, predict_x0=True,
@@ -82,27 +81,29 @@ def build_pipeline(batch_size: int):
         img = vae.apply(vae_params, z0, method="decode")
         return img
 
-    return pipeline
+    return pipeline, params, vae_params
 
 
 def main():
-    devices = jax.devices()
     batch_size = int(os.environ.get("BENCH_BATCH", "16"))
     reps = int(os.environ.get("BENCH_REPS", "3"))
-    pipeline = build_pipeline(batch_size)
+    pipeline, params, vae_params = build_pipeline(batch_size)
     key = jax.random.PRNGKey(42)
     y = jnp.zeros((batch_size,), jnp.int32)
 
-    # warmup / compile
-    img = pipeline(key, y)
-    img.block_until_ready()
+    # warmup / compile.  On remote-tunnel backends block_until_ready may not
+    # actually block, so force a device->host scalar transfer to serialize.
+    def run(k):
+        img = pipeline(params, vae_params, k, y)
+        return float(jnp.sum(img[:, ::64, ::64, :]))
+
+    run(key)
 
     times = []
     for i in range(reps):
         k = jax.random.fold_in(key, i)
         t0 = time.perf_counter()
-        img = pipeline(k, y)
-        img.block_until_ready()
+        run(k)
         times.append(time.perf_counter() - t0)
     best = min(times)
     imgs_per_sec = batch_size / best

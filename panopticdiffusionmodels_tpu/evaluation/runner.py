@@ -74,7 +74,8 @@ def make_eval_sample_fn(trainer: Trainer, sample_steps: int, batch_size: int):
     """Returns sample_fn(batch_size) with the sample2dir contract."""
     config = trainer.config
     task = trainer.task
-    jit_sample = jax.jit(trainer.build_sample_fn(sample_steps))
+    jit_sample = jax.jit(trainer.build_sample_fn(sample_steps), static_argnames="n")
+    weights = trainer.sample_weights()
     key_holder = {"key": jax.random.PRNGKey(config.seed + 777)}
 
     def next_key():
@@ -98,7 +99,7 @@ def make_eval_sample_fn(trainer: Trainer, sample_steps: int, batch_size: int):
             else:
                 moments, context = batch[:2]
                 panoptic, index = None, fallback_index
-            samples_out = jit_sample(next_key(), jax.numpy.asarray(context))
+            samples_out = jit_sample(*weights, next_key(), jax.numpy.asarray(context))
             if panoptic_on:
                 samples, pred_mask = samples_out
                 if panoptic is not None:
@@ -120,13 +121,13 @@ def make_eval_sample_fn(trainer: Trainer, sample_steps: int, batch_size: int):
 
         def sample_fn(n):
             y = jax.random.randint(next_key(), (n,), 0, n_classes)
-            samples = jit_sample(next_key(), y)
+            samples = jit_sample(*weights, next_key(), y)
             return np.arange(n), samples
 
         return sample_fn, False
 
     def sample_fn(n):
-        samples = jit_sample(next_key(), None, n)
+        samples = jit_sample(*weights, next_key(), None, n=n)
         return np.arange(n), samples
 
     return sample_fn, False
@@ -188,7 +189,10 @@ def make_vis_callback(n_images: int = 16, sample_steps: int = 50):
 
         n = min(n_images, trainer.config.sample.mini_batch_size)
         if "fn" not in cache:
-            cache["fn"] = jax.jit(trainer.build_sample_fn(sample_steps))
+            cache["fn"] = jax.jit(
+                trainer.build_sample_fn(sample_steps), static_argnames="n"
+            )
+        weights = trainer.sample_weights()
         key = jax.random.fold_in(jax.random.PRNGKey(trainer.config.seed + 99), step)
         task = trainer.task
         out_dir = os.path.join(trainer.workdir, "train_samples")
@@ -196,12 +200,12 @@ def make_vis_callback(n_images: int = 16, sample_steps: int = 50):
         if task == "t2i_discrete":
             test = trainer.dataset.get_split("test", labeled=True)
             ctx = np.stack([np.asarray(test[i][1]) for i in range(n)])
-            out = cache["fn"](key, jnp.asarray(ctx))
+            out = cache["fn"](*weights, key, jnp.asarray(ctx))
         elif task == "latent_discrete" or trainer.config.train.get("mode") == "cond":
             y = jax.random.randint(key, (n,), 0, 1000)
-            out = cache["fn"](key, y)
+            out = cache["fn"](*weights, key, y)
         else:
-            out = cache["fn"](key, None, n)
+            out = cache["fn"](*weights, key, None, n=n)
         if isinstance(out, tuple):
             samples, pred_mask = out
             ids = np.asarray(

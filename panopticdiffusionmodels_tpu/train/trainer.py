@@ -305,26 +305,40 @@ class Trainer:
 
     # --- sampling ----------------------------------------------------------
 
+    def sample_weights(self):
+        """(ema_params, vae_params) to feed the built sample_fn.  Weights are
+        ARGUMENTS, never closure constants: closed-over arrays get baked into
+        the serialized program (hundreds of MB for the big models), blowing up
+        compile time and remote-compile payload limits."""
+        return self.state.ema_params, self.vae_params
+
     def build_sample_fn(self, sample_steps: Optional[int] = None, decode: bool = True):
-        """One jittable function (key, context/labels...) -> samples [+ mask].
+        """One jittable function (nnet_params, vae_params, key, cond, ...) ->
+        samples [+ mask].
 
         Covers: EM SDE/ODE for continuous tasks, DPM-Solver(++) for discrete;
-        CFG fused; optional VAE decode inside the same program."""
+        CFG fused; optional VAE decode inside the same program.  Call with
+        `*trainer.sample_weights()` as the leading arguments."""
         config = self.config
         steps = sample_steps or config.sample.sample_steps
         scale = config.sample.get("scale", 0.0)
         cfg_on = bool(config.sample.get("cfg", False))
         z_shape = tuple(config.get("z_shape", None) or self.dataset.data_shape)
-        ema = self.state.ema_params
+        has_vae = self.vae is not None
+
+        def maybe_decode(vae_params, z):
+            if decode and has_vae and vae_params is not None:
+                return self.vae.apply(vae_params, z, method="decode")
+            return z
 
         if self.task in ("pixel_sde", "latent_sde"):
-            sm = ScoreModel(
-                lambda xx, tt, **kw: self.nnet.apply(ema, xx, tt, **kw),
-                config.pred,
-                self.sde,
-            )
 
-            def sample_fn(key, y=None, n: int = 1):
+            def sample_fn(params, vae_params, key, y=None, n: int = 1):
+                sm = ScoreModel(
+                    lambda xx, tt, **kw: self.nnet.apply(params, xx, tt, **kw),
+                    config.pred,
+                    self.sde,
+                )
                 kwargs = {} if y is None else {"y": y}
                 k1, k2 = jax.random.split(key)
                 x_init = jax.random.normal(k1, (n, *z_shape))
@@ -340,8 +354,8 @@ class Trainer:
                     )
                     x = solver.sample(x_init, steps=steps, eps=1e-4, T=1.0, order=3,
                                       method="singlestep")
-                if self.task == "latent_sde" and decode and self.vae_params is not None:
-                    x = self.vae.apply(self.vae_params, x, method="decode")
+                if self.task == "latent_sde":
+                    x = maybe_decode(vae_params, x)
                 return x
 
             return sample_fn
@@ -349,14 +363,14 @@ class Trainer:
         N = self.schedule.N
 
         if self.task == "latent_discrete":
-            cfg_fn = make_cfg_class_cond(
-                lambda xx, tt, yy: self.nnet.apply(ema, xx, tt, yy),
-                null_label=config.nnet.num_classes - 1,
-                scale=scale,
-                enabled=cfg_on,
-            )
 
-            def sample_fn(key, y, n: int = None):
+            def sample_fn(params, vae_params, key, y, n: int = None):
+                cfg_fn = make_cfg_class_cond(
+                    lambda xx, tt, yy: self.nnet.apply(params, xx, tt, yy),
+                    null_label=config.nnet.num_classes - 1,
+                    scale=scale,
+                    enabled=cfg_on,
+                )
                 n = y.shape[0]
                 z_init = jax.random.normal(key, (n, *z_shape))
                 solver = DPMSolver(
@@ -365,25 +379,23 @@ class Trainer:
                 )
                 z = solver.sample(z_init, steps=steps, eps=1.0 / N, T=1.0, order=3,
                                   method="fast")
-                if decode and self.vae_params is not None:
-                    z = self.vae.apply(self.vae_params, z, method="decode")
-                return z
+                return maybe_decode(vae_params, z)
 
             return sample_fn
 
         # t2i_discrete
         empty_context = np.asarray(self.dataset.empty_context)
-        cfg_fn = make_cfg_t2i(
-            lambda xx, tt, cc, mask_token=None: self.nnet.apply(
-                ema, xx, tt, cc, mask_token=mask_token
-            ),
-            empty_context,
-            scale=scale,
-            enabled=cfg_on,
-        )
         panoptic_on = bool(config.nnet.enable_panoptic)
 
-        def sample_fn(key, context, n: int = None):
+        def sample_fn(params, vae_params, key, context, n: int = None):
+            cfg_fn = make_cfg_t2i(
+                lambda xx, tt, cc, mask_token=None: self.nnet.apply(
+                    params, xx, tt, cc, mask_token=mask_token
+                ),
+                empty_context,
+                scale=scale,
+                enabled=cfg_on,
+            )
             n = context.shape[0]
             k1, k2 = jax.random.split(key)
             z_init = jax.random.normal(k1, (n, *z_shape))
@@ -405,10 +417,7 @@ class Trainer:
                 z = solver.sample(z_init, steps=steps, eps=1.0 / N, T=1.0, order=3,
                                   method="fast")
                 pred_mask = None
-            if decode and self.vae_params is not None:
-                x = self.vae.apply(self.vae_params, z, method="decode")
-            else:
-                x = z
+            x = maybe_decode(vae_params, z)
             if panoptic_on:
                 return x, pred_mask
             return x

@@ -46,7 +46,7 @@ def test_sample_fn_shapes(tiny_trainer):
     sample_fn = jax.jit(tiny_trainer.build_sample_fn(sample_steps=6))
     key = jax.random.PRNGKey(0)
     ctx = jax.numpy.zeros((4, 7, 16))
-    x, pred_mask = sample_fn(key, ctx)
+    x, pred_mask = sample_fn(*tiny_trainer.sample_weights(), key, ctx)
     assert x.shape == (4, 8, 8, 4)  # no VAE weights -> stays in latent space
     assert pred_mask.shape == (4, 16, 16, 8)
     assert bool(jax.numpy.isfinite(x).all())
@@ -56,6 +56,7 @@ def test_sampling_batch_is_deterministic_given_key(tiny_trainer):
     sample_fn = jax.jit(tiny_trainer.build_sample_fn(sample_steps=6))
     key = jax.random.PRNGKey(3)
     ctx = jax.numpy.zeros((2, 7, 16))
-    x1, m1 = sample_fn(key, ctx)
-    x2, m2 = sample_fn(key, ctx)
+    w = tiny_trainer.sample_weights()
+    x1, m1 = sample_fn(*w, key, ctx)
+    x2, m2 = sample_fn(*w, key, ctx)
     np.testing.assert_array_equal(np.asarray(x1), np.asarray(x2))

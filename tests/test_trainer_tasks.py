@@ -74,10 +74,11 @@ def test_pixel_sde_task(mode, tmp_path):
     assert all(np.isfinite(m["loss"]) for m in metrics)
     # EM sampler end to end
     sample_fn = jax.jit(trainer.build_sample_fn(sample_steps=5), static_argnames="n")
+    w = trainer.sample_weights()
     if mode == "cond":
-        out = sample_fn(jax.random.PRNGKey(0), jnp.array([1, 2]), n=2)
+        out = sample_fn(*w, jax.random.PRNGKey(0), jnp.array([1, 2]), n=2)
     else:
-        out = sample_fn(jax.random.PRNGKey(0), None, n=2)
+        out = sample_fn(*w, jax.random.PRNGKey(0), None, n=2)
     assert out.shape == (2, 8, 8, 3)
     assert bool(jnp.isfinite(out).all())
 
@@ -89,7 +90,7 @@ def test_latent_discrete_task(tmp_path):
     metrics = trainer.fit(max_steps=4)
     assert all(np.isfinite(m["loss"]) for m in metrics)
     sample_fn = jax.jit(trainer.build_sample_fn(sample_steps=6))
-    out = sample_fn(jax.random.PRNGKey(0), jnp.array([3, 7]))
+    out = sample_fn(*trainer.sample_weights(), jax.random.PRNGKey(0), jnp.array([3, 7]))
     assert out.shape == (2, 8, 8, 4)  # no VAE weights -> latent space
     assert bool(jnp.isfinite(out).all())
 
@@ -102,7 +103,7 @@ def test_t2i_without_panoptic(tmp_path):
     assert all(np.isfinite(m["loss"]) for m in metrics)
     assert "loss_mask" not in metrics[0]
     sample_fn = jax.jit(trainer.build_sample_fn(sample_steps=6))
-    out = sample_fn(jax.random.PRNGKey(0), jnp.zeros((2, 7, 16)))
+    out = sample_fn(*trainer.sample_weights(), jax.random.PRNGKey(0), jnp.zeros((2, 7, 16)))
     assert out.shape == (2, 8, 8, 4)
 
 
