@@ -10,7 +10,7 @@ def get_config():
     config.optimizer = adamw(2e-4, 0.03, (0.9, 0.9))
     config.lr_scheduler = warmup(5000)
     config.nnet = uvit_t2i(img_size=32, patch_size=2, embed_dim=1024, depth=20, num_heads=16, scan_blocks=True,
-                           enable_panoptic=True, separate=True, mask_size=64)
+                           enable_panoptic=True, separate=True, use_checkpoint=True, mask_size=64)
     config.dataset = d(name="mscoco256_features", path="assets/datasets/coco256_features",
                        cfg=True, p_uncond=0.1)
     config.sample = sample_block(50, 30000, 32, algorithm="dpm_solver", cfg=True, scale=1.0)
