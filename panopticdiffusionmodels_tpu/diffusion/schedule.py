@@ -141,6 +141,7 @@ def l_simple_panoptic(
     panoptic,
     mask_bits: int = 8,
     use_ground_truth: bool = False,
+    use_twophases: bool = False,
 ):
     """Joint image + panoptic-mask loss: (loss_eps, loss_mask), each shape (B,).
 
@@ -168,6 +169,14 @@ def l_simple_panoptic(
             xn, n.astype(x0.dtype), mask_token=mask_n, use_ground_truth=False
         )
     loss_eps = mos(eps - eps_pred)
+    if use_twophases and not use_ground_truth:
+        # Phase two: same noisy image, ground-truth mask features merged in;
+        # average the two eps losses (reference `train_t2i_discrete.py:183-192,
+        # 221-224`).
+        eps_pred2, _ = nnet_fn(
+            xn, n.astype(x0.dtype), mask_token=scaled_panoptic, use_ground_truth=True
+        )
+        loss_eps = 0.5 * (loss_eps + mos(eps - eps_pred2))
     if use_ground_truth:
         loss_mask = loss_eps
     else:

@@ -34,11 +34,19 @@ def multi_head_attention(q, k, v, *, scale: Optional[float] = None, impl: str = 
     if scale is None:
         scale = q.shape[-1] ** -0.5
     if impl == "auto":
-        # Measured on v5e at U-ViT-L shapes (L=258, D=64): XLA's own lowering
-        # beats the VMEM-resident Pallas kernel (61.5 vs 77 ms/fwd) because the
-        # kernel pays lane padding (L->384, D->128) that XLA avoids.  Keep the
-        # Pallas kernel opt-in until its blocking handles non-128 shapes better.
-        impl = "xla"
+        # Shape-aware dispatch, calibrated on v5e (ms/call, B32 H8):
+        #   L=258 D64: xla 1.39 / pallas 1.39 (tie; kernel pads L->384)
+        #   L=590 D64: xla 2.13 / pallas 1.66 (panoptic seq; pad only ->640)
+        #   L=512 D128: xla 1.76 / pallas 1.99 (no lane headroom for f32 scores)
+        # Use the VMEM-resident kernel when lane padding is cheap (<=20%) and
+        # the head dim leaves VMEM headroom; otherwise XLA's lowering wins.
+        l, d = q.shape[-2], q.shape[-1]
+        pad_ratio = (-(-l // 128) * 128) / l
+        on_tpu = jax.default_backend() in ("tpu", "axon")  # axon = tunneled TPU
+        if on_tpu and d <= 64 and pad_ratio <= 1.2:
+            impl = "pallas"
+        else:
+            impl = "xla"
     if impl == "pallas":
         from .pallas.fused_attention import fused_attention
 

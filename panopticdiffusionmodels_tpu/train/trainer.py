@@ -277,6 +277,7 @@ class Trainer:
                 k2, z, nnet_fn, self.schedule, panoptic,
                 mask_bits=self.config.nnet.mask_bits,
                 use_ground_truth=self.config.nnet.use_ground_truth,
+                use_twophases=bool(self.config.get("use_twophases", False)),
             )
             metrics["loss"] = loss_eps.mean()
             metrics["loss_mask"] = loss_mask.mean()

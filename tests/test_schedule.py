@@ -117,3 +117,21 @@ def test_l_simple_panoptic_losses(rng):
         rng, x0, nnet, sched, panoptic, use_ground_truth=True
     )
     np.testing.assert_allclose(np.asarray(le), np.asarray(lm))
+
+
+def test_l_simple_panoptic_two_phases(rng):
+    betas = stable_diffusion_beta_schedule(n_timestep=100)
+    sched = Schedule(betas)
+    x0 = jax.random.normal(rng, (2, 8, 8, 4))
+    panoptic = jax.random.randint(rng, (2, 16, 16, 1), 0, 201)
+    calls = []
+
+    def nnet(xn, n, mask_token=None, use_ground_truth=False):
+        calls.append(use_ground_truth)
+        return jnp.zeros_like(xn), jnp.zeros_like(mask_token)
+
+    from panopticdiffusionmodels_tpu.diffusion.schedule import l_simple_panoptic as lsp
+
+    le, lm = lsp(rng, x0, nnet, sched, panoptic, use_twophases=True)
+    assert calls == [False, True]  # phase one + GT phase two
+    assert le.shape == (2,) and lm.shape == (2,)
