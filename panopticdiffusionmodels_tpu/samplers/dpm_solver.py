@@ -177,6 +177,11 @@ class DPMSolver:
             noise, pred_mask = (out if isinstance(out, tuple) else (out, None))
         else:
             noise, pred_mask = self.model(x, t_vec, mask_token=mask_token)
+        # Solver state stays in the caller's dtype (f32): a bf16-compute network
+        # must not narrow the scan carry or the update numerics.
+        noise = noise.astype(x.dtype)
+        if pred_mask is not None:
+            pred_mask = pred_mask.astype(x.dtype)
         if not self.predict_x0:
             return noise, pred_mask
         x0 = (x - _bcast(sigma_t, x) * noise) / _bcast(alpha_t, x)
