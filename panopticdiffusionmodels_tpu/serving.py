@@ -1,0 +1,272 @@
+"""Production inference API: load a config + weights once, generate batches.
+
+The reference has no serving story (sampling is buried inside the training
+scripts); this wraps the same compiled pipelines behind a small object:
+
+    from panopticdiffusionmodels_tpu.serving import GenerationPipeline
+    pipe = GenerationPipeline.from_config("mscoco_uvit_small",
+                                          nnet_path="nnet_ema.pth",
+                                          vae_path="autoencoder_kl.pth")
+    images, masks = pipe.generate(prompts=["a bus in a city"], steps=50)
+
+Everything after weight loading is one jitted XLA program per (batch, steps)
+signature; weights are passed as arguments (never closure constants).
+"""
+from __future__ import annotations
+
+import os
+from typing import Any, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .configs import CONFIG_NAMES, get_config
+from .diffusion import Schedule, stable_diffusion_beta_schedule
+from .diffusion.analog_bits import analog_to_ints
+from .diffusion.cfg import make_cfg_class_cond, make_cfg_t2i
+from .models import get_nnet
+from .models.vae import get_model as get_vae
+from .samplers import DPMSolver, NoiseScheduleVP
+
+
+def _dtype(name: str):
+    return {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[name]
+
+
+class GenerationPipeline:
+    """Text/class/unconditional image (+ panoptic mask) generation."""
+
+    def __init__(self, config, nnet_params, vae_params=None, empty_context=None):
+        self.config = config
+        nnet_kwargs = dict(config.nnet)
+        nnet_kwargs.pop("name")
+        nnet_kwargs.pop("use_ground_truth", None)
+        nnet_kwargs["dtype"] = _dtype(config.get("compute_dtype", "bfloat16"))
+        self.nnet = get_nnet(config.nnet.name, **nnet_kwargs)
+        self.params = nnet_params
+        self.vae = get_vae(
+            scale_factor=config.autoencoder.scale_factor
+        ) if "autoencoder" in config else None
+        self.vae_params = vae_params
+        self.betas = stable_diffusion_beta_schedule()
+        self.schedule = Schedule(self.betas)
+        self.ns = NoiseScheduleVP("discrete", betas=self.betas)
+        self.is_t2i = config.nnet.name == "uvit_t2i"
+        self.panoptic = self.is_t2i and config.nnet.enable_panoptic
+        if empty_context is None and self.is_t2i:
+            empty_context = np.zeros(
+                (config.nnet.num_clip_token, config.nnet.clip_dim), np.float32
+            )
+        self.empty_context = empty_context
+        self._clip = None
+        self._jitted = {}
+
+    # --- constructors ------------------------------------------------------
+
+    @classmethod
+    def from_config(
+        cls,
+        config_or_name,
+        nnet_path: Optional[str] = None,
+        vae_path: Optional[str] = None,
+        empty_context_path: Optional[str] = None,
+        seed: int = 0,
+    ) -> "GenerationPipeline":
+        config = (
+            get_config(config_or_name)
+            if isinstance(config_or_name, str) and config_or_name in CONFIG_NAMES
+            else config_or_name
+        )
+        nnet_kwargs = dict(config.nnet)
+        name = nnet_kwargs.pop("name")
+        nnet_kwargs.pop("use_ground_truth", None)
+        nnet_kwargs["dtype"] = _dtype(config.get("compute_dtype", "bfloat16"))
+        nnet = get_nnet(name, **nnet_kwargs)
+
+        # init (one jitted program), then overlay weights
+        h = config.nnet.img_size
+        c = config.nnet.get("in_chans", 4)
+        x = jnp.zeros((1, h, h, c))
+        t = jnp.zeros((1,))
+        key = jax.random.PRNGKey(seed)
+        if name == "uvit_t2i":
+            ctx = jnp.zeros((1, config.nnet.num_clip_token, config.nnet.clip_dim))
+            if config.nnet.enable_panoptic:
+                m = jnp.zeros(
+                    (1, config.nnet.mask_size, config.nnet.mask_size,
+                     config.nnet.mask_bits)
+                )
+                params = jax.jit(
+                    lambda k: nnet.init(k, x, t, ctx, mask_token=m)
+                )(key)
+            else:
+                params = jax.jit(lambda k: nnet.init(k, x, t, ctx))(key)
+        elif config.nnet.get("num_classes", -1) > 0:
+            params = jax.jit(
+                lambda k: nnet.init(k, x, t, jnp.zeros((1,), jnp.int32))
+            )(key)
+        else:
+            params = jax.jit(lambda k: nnet.init(k, x, t))(key)
+
+        if nnet_path and os.path.exists(nnet_path):
+            from .train.trainer import _merge_params
+            from .utils.torch_bridge import (
+                convert_uvit,
+                convert_uvit_t2i,
+                load_torch_state_dict,
+            )
+
+            sd = load_torch_state_dict(nnet_path)
+            conv = convert_uvit_t2i if name == "uvit_t2i" else convert_uvit
+            kwargs = dict(
+                depth=config.nnet.depth,
+                mlp_time_embed=config.nnet.mlp_time_embed,
+                scan_blocks=config.nnet.get("scan_blocks", False),
+            )
+            if name == "uvit":
+                kwargs["num_classes"] = config.nnet.get("num_classes", -1)
+            params = _merge_params(params, conv(sd, **kwargs))
+
+        vae_params = None
+        if vae_path and os.path.exists(vae_path):
+            from .utils.torch_bridge import (
+                convert_autoencoder_kl,
+                load_torch_state_dict,
+            )
+
+            vae_params = convert_autoencoder_kl(load_torch_state_dict(vae_path))
+
+        empty_context = None
+        if empty_context_path and os.path.exists(empty_context_path):
+            empty_context = np.load(empty_context_path)
+
+        return cls(config, params, vae_params, empty_context)
+
+    # --- generation --------------------------------------------------------
+
+    def _pipeline(self, n: int, steps: int):
+        key_shape = (n, steps)
+        if key_shape in self._jitted:
+            return self._jitted[key_shape]
+        config = self.config
+        N = self.schedule.N
+        scale = config.sample.get("scale", 0.0)
+        cfg_on = bool(config.sample.get("cfg", False))
+        z_shape = tuple(config.get("z_shape", (config.nnet.img_size,
+                                               config.nnet.img_size,
+                                               config.nnet.get("in_chans", 4))))
+
+        def decode(vae_params, z):
+            if self.vae is not None and vae_params is not None:
+                return self.vae.apply(vae_params, z, method="decode")
+            return z
+
+        if self.is_t2i:
+            empty = jnp.asarray(self.empty_context)
+
+            def fn(params, vae_params, key, context):
+                cfg_fn = make_cfg_t2i(
+                    lambda xx, tt, cc, mask_token=None: self.nnet.apply(
+                        params, xx, tt, cc, mask_token=mask_token
+                    ),
+                    empty, scale=scale, enabled=cfg_on,
+                )
+                solver = DPMSolver(
+                    lambda xx, tt, mask_token=None: cfg_fn(
+                        xx, tt * N, context, mask_token=mask_token
+                    ),
+                    self.ns, predict_x0=True,
+                )
+                k1, k2 = jax.random.split(key)
+                z = jax.random.normal(k1, (n, *z_shape))
+                if self.panoptic:
+                    m0 = jax.random.normal(
+                        k2, (n, config.nnet.mask_size, config.nnet.mask_size,
+                             config.nnet.mask_bits)
+                    )
+                    z0, pred_mask = solver.sample(
+                        z, steps=steps, eps=1.0 / N, T=1.0, order=3,
+                        method="fast", mask_token=m0,
+                    )
+                    return decode(vae_params, z0), pred_mask
+                z0 = solver.sample(z, steps=steps, eps=1.0 / N, T=1.0, order=3,
+                                   method="fast")
+                return decode(vae_params, z0)
+
+        elif config.nnet.get("num_classes", -1) > 0:
+
+            def fn(params, vae_params, key, y):
+                cfg_fn = make_cfg_class_cond(
+                    lambda xx, tt, yy: self.nnet.apply(params, xx, tt, yy),
+                    null_label=config.nnet.num_classes - 1,
+                    scale=scale, enabled=cfg_on,
+                )
+                solver = DPMSolver(
+                    lambda xx, tt, mask_token=None: cfg_fn(xx, tt * N, y),
+                    self.ns, predict_x0=True,
+                )
+                z = jax.random.normal(key, (n, *z_shape))
+                z0 = solver.sample(z, steps=steps, eps=1.0 / N, T=1.0, order=3,
+                                   method="fast")
+                return decode(vae_params, z0)
+
+        else:
+
+            def fn(params, vae_params, key, _):
+                solver = DPMSolver(
+                    lambda xx, tt, mask_token=None: self.nnet.apply(
+                        params, xx, tt * N
+                    ),
+                    self.ns, predict_x0=True,
+                )
+                z = jax.random.normal(key, (n, *z_shape))
+                z0 = solver.sample(z, steps=steps, eps=1.0 / N, T=1.0, order=3,
+                                   method="fast")
+                return decode(vae_params, z0)
+
+        jitted = jax.jit(fn)
+        self._jitted[key_shape] = jitted
+        return jitted
+
+    def encode_prompts(self, prompts: Sequence[str]) -> np.ndarray:
+        if self._clip is None:
+            from .models.clip import FrozenCLIPEmbedder
+
+            self._clip = FrozenCLIPEmbedder()
+        return self._clip.encode(list(prompts))
+
+    def generate(
+        self,
+        prompts: Optional[Sequence[str]] = None,
+        contexts: Optional[np.ndarray] = None,
+        labels: Optional[Sequence[int]] = None,
+        n: Optional[int] = None,
+        steps: Optional[int] = None,
+        seed: int = 0,
+    ):
+        """Returns images in [0,1] NHWC (numpy), plus integer panoptic-id maps
+        for panoptic models: (images, mask_ids)."""
+        steps = steps or self.config.sample.sample_steps
+        if prompts is not None:
+            contexts = self.encode_prompts(prompts)
+        if contexts is not None:
+            cond = jnp.asarray(contexts)
+            n = cond.shape[0]
+        elif labels is not None:
+            cond = jnp.asarray(np.asarray(labels, np.int32))
+            n = cond.shape[0]
+        else:
+            assert n is not None, "need prompts, contexts, labels or n"
+            cond = None
+        fn = self._pipeline(n, steps)
+        key = jax.random.PRNGKey(seed)
+        out = fn(self.params, self.vae_params, key, cond)
+        if self.panoptic:
+            images, pred_mask = out
+            ids = np.asarray(analog_to_ints(pred_mask,
+                                            n=self.config.nnet.mask_bits))
+            images01 = np.clip((np.asarray(images, np.float32) + 1) / 2, 0, 1)
+            return images01, ids
+        images01 = np.clip((np.asarray(out, np.float32) + 1) / 2, 0, 1)
+        return images01

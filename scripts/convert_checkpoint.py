@@ -1,0 +1,49 @@
+#!/usr/bin/env python
+"""Convert a reference PyTorch checkpoint into this framework's orbax format.
+
+Usage:
+  python scripts/convert_checkpoint.py --config mscoco_uvit_small \
+      --nnet path/to/nnet_ema.pth --out results/converted/ckpts
+
+Writes a `{0}.ckpt` orbax directory whose ema_params carry the converted
+weights; `train.py --workdir results/converted` resumes from it, and `eval.py`
+can read the `.pth` directly via `--config.nnet_path` without this step.
+"""
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--config", required=True)
+    p.add_argument("--nnet", required=True, help="reference .pth state dict")
+    p.add_argument("--out", required=True, help="checkpoint root directory")
+    args = p.parse_args()
+
+    import jax
+
+    from panopticdiffusionmodels_tpu.cli import load_config
+    from panopticdiffusionmodels_tpu.serving import GenerationPipeline
+    from panopticdiffusionmodels_tpu.train import (
+        create_train_state,
+        make_optimizer,
+        save_checkpoint,
+    )
+
+    config = load_config(args.config)
+    pipe = GenerationPipeline.from_config(config, nnet_path=args.nnet)
+    tx = make_optimizer(config.optimizer.name,
+                        lr=config.optimizer.lr,
+                        weight_decay=config.optimizer.get("weight_decay", 0.0),
+                        betas=tuple(config.optimizer.betas))
+    state = create_train_state(pipe.params, tx)
+    save_checkpoint(args.out, state)
+    n = sum(a.size for a in jax.tree.leaves(pipe.params))
+    print(f"wrote {args.out}/0.ckpt ({n} params)")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,40 @@
+import numpy as np
+
+from panopticdiffusionmodels_tpu.configs import get_config
+from panopticdiffusionmodels_tpu.serving import GenerationPipeline
+
+
+def test_panoptic_pipeline_generate():
+    config = get_config("synthetic_tiny")
+    pipe = GenerationPipeline.from_config(config)
+    images, masks = pipe.generate(
+        contexts=np.zeros((2, 7, 16), np.float32), steps=6, seed=1
+    )
+    assert images.shape == (2, 8, 8, 4)  # latent space (no VAE weights)
+    assert masks.shape == (2, 16, 16, 1)
+    assert masks.dtype == np.int32
+    assert images.min() >= 0.0 and images.max() <= 1.0
+    # pipeline caching: second call reuses the jitted program
+    images2, _ = pipe.generate(contexts=np.zeros((2, 7, 16), np.float32), steps=6, seed=1)
+    np.testing.assert_array_equal(images, images2)
+
+
+def test_class_cond_pipeline_generate():
+    from panopticdiffusionmodels_tpu.configs.base import (
+        autoencoder_block, base_config, adamw, d, sample_block, train_block, uvit, warmup,
+    )
+
+    config = base_config()
+    config.compute_dtype = "float32"
+    config.z_shape = (8, 8, 4)
+    config.autoencoder = autoencoder_block(scale_factor=0.23)
+    config.train = train_block(10, 8, mode="cond")
+    config.optimizer = adamw()
+    config.lr_scheduler = warmup(5)
+    config.nnet = uvit(img_size=8, patch_size=2, in_chans=4, embed_dim=32, depth=4,
+                       num_heads=4, mlp_ratio=2, num_classes=11)
+    config.sample = sample_block(9, 8, 4, cfg=True, scale=0.4)
+    pipe = GenerationPipeline.from_config(config)
+    images = pipe.generate(labels=[1, 5, 9], steps=6)
+    assert images.shape == (3, 8, 8, 4)
+    assert np.isfinite(images).all()
