@@ -112,3 +112,16 @@ def test_grad_norm_metric(tmp_path):
     trainer = Trainer(config, str(tmp_path))
     metrics = trainer.fit(max_steps=2)
     assert metrics and metrics[-1]["grad_norm"] > 0
+
+
+def test_pixel_sde_with_continuous_dpm_solver(tmp_path):
+    """imagenet64-style path: pixel-space model sampled with the continuous
+    (linear-schedule) DPM-Solver (reference train.py:115-130)."""
+    config = _pixel_sde_config("cond")
+    config.sample.algorithm = "dpm_solver"
+    trainer = Trainer(config, str(tmp_path))
+    trainer.fit(max_steps=2)
+    sample_fn = jax.jit(trainer.build_sample_fn(sample_steps=9), static_argnames="n")
+    out = sample_fn(*trainer.sample_weights(), jax.random.PRNGKey(0), jnp.array([1, 2]), n=2)
+    assert out.shape == (2, 8, 8, 3)
+    assert bool(jnp.isfinite(out).all())
