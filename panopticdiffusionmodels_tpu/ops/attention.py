@@ -34,23 +34,26 @@ def multi_head_attention(q, k, v, *, scale: Optional[float] = None, impl: str = 
     if scale is None:
         scale = q.shape[-1] ** -0.5
     if impl == "auto":
-        # Shape-aware dispatch, calibrated on v5e (ms/call, B32 H8):
+        # Training-safe default: XLA schedules fwd+bwd+remat together and beats
+        # the Pallas-fwd + recompute-VJP combination for training (measured 163
+        # vs 125 img/s on the panoptic trainer).  Inference paths request
+        # impl='infer' to get the kernel where it wins.
+        impl = "xla"
+    if impl == "infer":
+        # Inference-only dispatch, calibrated on v5e (ms/call, B32 H8):
         #   L=258 D64: xla 1.39 / pallas 1.39 (tie; kernel pads L->384)
         #   L=590 D64: xla 2.13 / pallas 1.66 (panoptic seq; pad only ->640)
         #   L=512 D128: xla 1.76 / pallas 1.99 (no lane headroom for f32 scores)
-        # Use the VMEM-resident kernel when lane padding is cheap (<=20%) and
-        # the head dim leaves VMEM headroom; otherwise XLA's lowering wins.
+        # VMEM-resident kernel when lane padding is cheap (<=20%) and the head
+        # dim leaves headroom; otherwise XLA.
         l, d = q.shape[-2], q.shape[-1]
         pad_ratio = (-(-l // 128) * 128) / l
         on_tpu = jax.default_backend() in ("tpu", "axon")  # axon = tunneled TPU
-        if on_tpu and d <= 64 and pad_ratio <= 1.2:
-            impl = "pallas"
-        else:
-            impl = "xla"
+        impl = "pallas" if (on_tpu and d <= 64 and pad_ratio <= 1.2) else "xla"
     if impl == "pallas":
         from .pallas.fused_attention import fused_attention
 
-        return fused_attention(q, k, v, scale=scale)
+        return fused_attention(q, k, v, scale)
     if impl == "xla":
         return _xla_attention(q, k, v, scale)
     raise ValueError(f"unknown attention impl: {impl}")

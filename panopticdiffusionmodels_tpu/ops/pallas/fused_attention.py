@@ -57,9 +57,38 @@ def _attention_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, l_actual: int
     o_ref[0] = o.astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("scale",))
-def fused_attention(q, k, v, *, scale: float):
-    """Fused softmax(QK^T * scale)V over (B, H, L, D) tensors."""
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def fused_attention(q, k, v, scale: float):
+    """Fused softmax(QK^T * scale)V over (B, H, L, D) tensors.
+
+    Differentiable: the forward runs the Pallas kernel; the backward is the
+    analytic attention VJP in XLA (recompute-based, no saved score matrix) —
+    pallas_call itself has no reverse rule."""
+    return _fused_attention_fwd_impl(q, k, v, scale)
+
+
+def _fused_attention_fwd(q, k, v, scale):
+    return _fused_attention_fwd_impl(q, k, v, scale), (q, k, v)
+
+
+def _fused_attention_bwd(scale, res, g):
+    q, k, v = res
+    # Recompute the softmax weights in f32 and apply the standard attention VJP.
+    qf, kf, vf, gf = (t.astype(jnp.float32) for t in (q, k, v, g))
+    s = jnp.einsum("bhqd,bhkd->bhqk", qf, kf) * scale
+    p = jax.nn.softmax(s, axis=-1)
+    dv = jnp.einsum("bhqk,bhqd->bhkd", p, gf)
+    dp = jnp.einsum("bhqd,bhkd->bhqk", gf, vf)
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    dq = scale * jnp.einsum("bhqk,bhkd->bhqd", ds, kf)
+    dk = scale * jnp.einsum("bhqk,bhqd->bhkd", ds, qf)
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+
+
+fused_attention.defvjp(_fused_attention_fwd, _fused_attention_bwd)
+
+
+def _fused_attention_fwd_impl(q, k, v, scale: float):
     b, h, l, d = q.shape
     if l > MAX_FULL_SEQ:
         from ..attention import _xla_attention

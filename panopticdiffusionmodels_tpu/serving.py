@@ -43,6 +43,8 @@ class GenerationPipeline:
         nnet_kwargs.pop("name")
         nnet_kwargs.pop("use_ground_truth", None)
         nnet_kwargs["dtype"] = _dtype(config.get("compute_dtype", "bfloat16"))
+        if nnet_kwargs.get("attn_impl", "auto") == "auto":
+            nnet_kwargs["attn_impl"] = "infer"  # inference-only dispatch
         self.nnet = get_nnet(config.nnet.name, **nnet_kwargs)
         self.params = nnet_params
         self.vae = get_vae(

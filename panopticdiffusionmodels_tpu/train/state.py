@@ -93,13 +93,37 @@ def make_optimizer(
 
 def frozen_mask_from_prefixes(params: Any, prefixes: Sequence[str]):
     """Bool mask marking every param whose top-level module name starts with one
-    of `prefixes` as frozen — the reference freezes patch_embed, context_embed,
-    time_embed and the image-stream blocks when fine-tuning the mask stream
-    (`train_t2i_discrete.py:313-319`)."""
+    of `prefixes` as frozen."""
 
     def mark(path, leaf):
         names = [str(getattr(k, "key", k)) for k in path]
         return any(any(n.startswith(p) for p in prefixes) for n in names)
+
+    return jax.tree_util.tree_map_with_path(mark, params)
+
+
+def panoptic_image_stream_mask(params: Any):
+    """Frozen mask for fine-tuning the panoptic mask stream from a pretrained
+    t2i model: freeze EXACTLY the image-stream modules the reference freezes
+    (`train_t2i_discrete.py:313-319`) — patch/context/time embeds and the image
+    blocks — and nothing of the mask stream.  Handles both the unrolled layout
+    (in_blocks_{i} / mid_block / out_blocks_{i}; note `mid_block_mask` etc. must
+    stay trainable) and the scanned layout (in_blocks[_dual].block)."""
+    import re
+
+    exact = {"patch_embed", "context_embed", "time_embed", "mid_block"}
+    numbered = re.compile(r"^(in|out)_blocks_\d+$")
+
+    def mark(path, leaf):
+        names = [str(getattr(k, "key", k)) for k in path]
+        top = names[0]
+        if top in exact or numbered.match(top):
+            return True
+        if top in ("in_blocks", "out_blocks"):  # scanned image-only stacks
+            return True
+        if top in ("in_blocks_dual", "out_blocks_dual"):
+            return len(names) > 1 and names[1] == "block"  # image half only
+        return False
 
     return jax.tree_util.tree_map_with_path(mark, params)
 

@@ -55,22 +55,10 @@ from . import checkpoint as ckpt_lib
 from .state import (
     TrainState,
     create_train_state,
-    frozen_mask_from_prefixes,
     make_lr_schedule,
     make_optimizer,
+    panoptic_image_stream_mask,
 )
-
-# Frozen image-stream modules when fine-tuning from a pretrained t2i model
-# (reference `train_t2i_discrete.py:313-319`).
-PRETRAINED_FROZEN_PREFIXES = (
-    "patch_embed",
-    "context_embed",
-    "time_embed",
-    "in_blocks_",
-    "mid_block",
-    "out_blocks_",
-)
-
 
 def infer_task(config) -> str:
     if config.nnet.name == "uvit_t2i":
@@ -140,14 +128,16 @@ class Trainer:
                 from ..utils.torch_bridge import convert_uvit_t2i, load_torch_state_dict
 
                 sd = load_torch_state_dict(pretrained)
-                loaded = convert_uvit_t2i(sd, depth=config.nnet.depth,
-                                          mlp_time_embed=config.nnet.mlp_time_embed)
+                loaded = convert_uvit_t2i(
+                    sd, depth=config.nnet.depth,
+                    mlp_time_embed=config.nnet.mlp_time_embed,
+                    scan_blocks=config.nnet.get("scan_blocks", False),
+                )
                 params = _merge_params(params, loaded)
                 logging.info(f"loaded pretrained image stream from {pretrained}")
-            frozen_mask = frozen_mask_from_prefixes(
-                params["params"], PRETRAINED_FROZEN_PREFIXES
-            )
-            frozen_mask = {"params": frozen_mask}
+            # Freeze exactly the reference's image-stream set; the mask
+            # stream (incl. mid_block_mask / zero convs) must train.
+            frozen_mask = {"params": panoptic_image_stream_mask(params["params"])}
         tx = make_optimizer(
             config.optimizer.name,
             lr_schedule=lr_sched,
@@ -326,6 +316,13 @@ class Trainer:
         cfg_on = bool(config.sample.get("cfg", False))
         z_shape = tuple(config.get("z_shape", None) or self.dataset.data_shape)
         has_vae = self.vae is not None
+        # Sampling never differentiates: use the inference attention dispatch
+        # (Pallas kernel where it wins) without touching the training model.
+        nnet = (
+            self.nnet.clone(attn_impl="infer")
+            if self.nnet.attn_impl == "auto"
+            else self.nnet
+        )
 
         def maybe_decode(vae_params, z):
             if decode and has_vae and vae_params is not None:
@@ -336,7 +333,7 @@ class Trainer:
 
             def sample_fn(params, vae_params, key, y=None, n: int = 1):
                 sm = ScoreModel(
-                    lambda xx, tt, **kw: self.nnet.apply(params, xx, tt, **kw),
+                    lambda xx, tt, **kw: nnet.apply(params, xx, tt, **kw),
                     config.pred,
                     self.sde,
                 )
@@ -367,7 +364,7 @@ class Trainer:
 
             def sample_fn(params, vae_params, key, y, n: int = None):
                 cfg_fn = make_cfg_class_cond(
-                    lambda xx, tt, yy: self.nnet.apply(params, xx, tt, yy),
+                    lambda xx, tt, yy: nnet.apply(params, xx, tt, yy),
                     null_label=config.nnet.num_classes - 1,
                     scale=scale,
                     enabled=cfg_on,
@@ -390,7 +387,7 @@ class Trainer:
 
         def sample_fn(params, vae_params, key, context, n: int = None):
             cfg_fn = make_cfg_t2i(
-                lambda xx, tt, cc, mask_token=None: self.nnet.apply(
+                lambda xx, tt, cc, mask_token=None: nnet.apply(
                     params, xx, tt, cc, mask_token=mask_token
                 ),
                 empty_context,

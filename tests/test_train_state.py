@@ -104,3 +104,36 @@ def test_resume_empty_dir(rng, tmp_path):
     state = create_train_state(params, make_optimizer())
     restored, ok = resume(str(tmp_path / "nonexistent"), state)
     assert not ok
+
+
+def test_panoptic_image_stream_mask():
+    from panopticdiffusionmodels_tpu.train.state import panoptic_image_stream_mask
+    import jax.numpy as jnp
+
+    params = {
+        "patch_embed": {"proj": {"kernel": jnp.zeros(1)}},
+        "mid_block": {"attn": {"qkv": {"kernel": jnp.zeros(1)}}},
+        "mid_block_mask": {"attn": {"qkv": {"kernel": jnp.zeros(1)}}},
+        "in_blocks_0": {"norm1": {"scale": jnp.zeros(1)}},
+        "in_blocks_mask_0": {"norm1": {"scale": jnp.zeros(1)}},
+        "zero_convs_mid": {"conv": {"kernel": jnp.zeros(1)}},
+        "mask_embed": {"proj": {"kernel": jnp.zeros(1)}},
+        "decoder_pred": {"kernel": jnp.zeros(1)},
+        "in_blocks_dual": {
+            "block": {"norm1": {"scale": jnp.zeros(1)}},
+            "block_mask": {"norm1": {"scale": jnp.zeros(1)}},
+            "zero_conv": {"conv": {"kernel": jnp.zeros(1)}},
+        },
+    }
+    m = panoptic_image_stream_mask(params)
+    assert m["patch_embed"]["proj"]["kernel"] is True
+    assert m["mid_block"]["attn"]["qkv"]["kernel"] is True
+    assert m["mid_block_mask"]["attn"]["qkv"]["kernel"] is False  # must train
+    assert m["in_blocks_0"]["norm1"]["scale"] is True
+    assert m["in_blocks_mask_0"]["norm1"]["scale"] is False
+    assert m["zero_convs_mid"]["conv"]["kernel"] is False
+    assert m["mask_embed"]["proj"]["kernel"] is False
+    assert m["decoder_pred"]["kernel"] is False  # reference keeps it trainable
+    assert m["in_blocks_dual"]["block"]["norm1"]["scale"] is True
+    assert m["in_blocks_dual"]["block_mask"]["norm1"]["scale"] is False
+    assert m["in_blocks_dual"]["zero_conv"]["conv"]["kernel"] is False
