@@ -19,7 +19,7 @@ from __future__ import annotations
 import os
 import pickle
 import random
-from typing import Any, List, Optional, Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -241,6 +241,47 @@ class CelebA(DatasetFactory):
     @property
     def fid_stat(self):
         return "assets/fid_stats/fid_stats_celeba64_train_50000_ddim.npz"
+
+
+class ImageNetRaw(DatasetFactory):
+    """Raw class-labeled ImageNet from a train/<class>/*.JPEG tree
+    (reference `datasets.py:253-301`), center-cropped to `resolution`."""
+
+    def __init__(self, path: str, resolution: int = 64, random_flip: bool = True,
+                 cfg: bool = False, p_uncond: Optional[float] = None):
+        super().__init__()
+        self.resolution = resolution
+        train_root = os.path.join(path, "train")
+        root = train_root if os.path.isdir(train_root) else path
+        classes = sorted(
+            d for d in os.listdir(root) if os.path.isdir(os.path.join(root, d))
+        )
+        self.class_to_idx = {c: i for i, c in enumerate(classes)}
+        paths, labels = [], []
+        for cname in classes:
+            cdir = os.path.join(root, cname)
+            for n in sorted(os.listdir(cdir)):
+                if n.lower().endswith((".jpeg", ".jpg", ".png")):
+                    paths.append(os.path.join(cdir, n))
+                    labels.append(self.class_to_idx[cname])
+        train = FolderImageDataset(paths, resolution, labels=labels,
+                                   random_flip=random_flip)
+        if cfg:
+            assert p_uncond is not None
+            train = CFGLabelDataset(train, p_uncond, len(classes))
+        self.train = train
+        self.test = FolderImageDataset(paths[:512], resolution,
+                                       labels=labels[:512], random_flip=False)
+
+    @property
+    def data_shape(self):
+        return (self.resolution, self.resolution, 3)
+
+    @property
+    def fid_stat(self):
+        return (
+            f"assets/fid_stats/fid_stats_imagenet{self.resolution}_guided_diffusion.npz"
+        )
 
 
 # --------------------------------------------------------------------------
@@ -489,6 +530,8 @@ def get_dataset(name: str, **kwargs) -> DatasetFactory:
         return CIFAR10(**kwargs)
     if name == "celeba":
         return CelebA(**kwargs)
+    if name == "imagenet":
+        return ImageNetRaw(**kwargs)
     if name in ("imagenet256_features", "imagenet512_features"):
         res = 256 if "256" in name else 512
         return ImageNetFeatures(resolution=res, **kwargs)

@@ -10,12 +10,11 @@ Replaces the reference's torch DataLoader workers (reference
 """
 from __future__ import annotations
 
-import collections
 import queue
 import random
 import threading
 from concurrent.futures import ThreadPoolExecutor
-from typing import Any, Iterator, Optional
+from typing import Any, Iterator
 
 import jax
 import numpy as np

@@ -8,7 +8,7 @@ prediction is extrapolated exactly like the reference
 """
 from __future__ import annotations
 
-from typing import Any, Callable, Optional
+from typing import Callable
 
 import jax.numpy as jnp
 

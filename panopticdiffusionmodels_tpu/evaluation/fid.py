@@ -12,7 +12,7 @@ The activation extractor is the FID-specific InceptionV3 in `inception.py`
 from __future__ import annotations
 
 import os
-from typing import Callable, Iterable, Optional, Tuple
+from typing import Callable, Iterable, Tuple
 
 import numpy as np
 from scipy import linalg

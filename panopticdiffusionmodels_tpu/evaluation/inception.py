@@ -19,7 +19,6 @@ whole extractor jits into one XLA program and runs on TPU in bf16 or f32.
 """
 from __future__ import annotations
 
-import functools
 from typing import Dict
 
 import jax

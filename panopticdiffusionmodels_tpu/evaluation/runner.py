@@ -133,6 +133,25 @@ def make_eval_sample_fn(trainer: Trainer, sample_steps: int, batch_size: int):
     return sample_fn, False
 
 
+def _log_captions(trainer: Trainer, workdir: str, indices):
+    """Record the prompts of the first sampled batch (the reference's
+    eval_caption.log, `train_t2i_discrete.py:645-653`); caption text files are
+    the `{i}_text.txt` outputs of the extraction scripts."""
+    base = getattr(trainer.dataset, "path", None)
+    if not base:
+        return
+    val_dir = os.path.join(base, "val")
+    lines = []
+    for i in indices:
+        p = os.path.join(val_dir, f"{int(i)}_text.txt")
+        if os.path.exists(p):
+            with open(p) as f:
+                lines.append(f"{int(i)}: {f.readline().strip()}")
+    if lines and jax.process_index() == 0:
+        with open(os.path.join(workdir, "eval_caption.log"), "a") as f:
+            f.write("\n".join(lines) + "\n")
+
+
 def evaluate(config, workdir: str, n_samples: Optional[int] = None):
     trainer = Trainer(config, workdir)
     _load_weights(trainer, config)
@@ -141,6 +160,17 @@ def evaluate(config, workdir: str, n_samples: Optional[int] = None):
     n = n_samples or config.sample.n_samples
     bs = config.sample.mini_batch_size
     sample_fn, use_panoptic = make_eval_sample_fn(trainer, config.sample.sample_steps, bs)
+    if trainer.task == "t2i_discrete":
+        first = {"done": False}
+        inner = sample_fn
+
+        def sample_fn(nb):  # noqa: F811 — wrap to log first-batch captions
+            out = inner(nb)
+            if not first["done"]:
+                first["done"] = True
+                _log_captions(trainer, workdir, np.asarray(out[0]))
+            return out
+
     metrics = sample2dir(
         sample_dir, n, bs, sample_fn,
         unpreprocess_fn=trainer.dataset.unpreprocess,

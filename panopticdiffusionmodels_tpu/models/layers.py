@@ -12,7 +12,7 @@ Functional equivalents of the reference building blocks (`libs/uvit.py:20-135`,
 from __future__ import annotations
 
 import math
-from typing import Any, Callable, Optional
+from typing import Any, Optional
 
 import flax.linen as nn
 import jax

@@ -13,7 +13,7 @@ reference (`libs/autoencoder.py:426-427`).
 """
 from __future__ import annotations
 
-from typing import Any, Sequence, Tuple
+from typing import Any, Sequence
 
 import flax.linen as nn
 import jax

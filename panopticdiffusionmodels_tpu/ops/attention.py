@@ -10,7 +10,6 @@ Softmax is computed in float32 regardless of the input dtype (bf16-safe).
 """
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax

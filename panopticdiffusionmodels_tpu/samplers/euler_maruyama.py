@@ -8,13 +8,10 @@ no data-dependent branch on device.
 """
 from __future__ import annotations
 
-from typing import Callable, Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..diffusion.math import stp
 
 
 def euler_maruyama(

@@ -15,7 +15,7 @@ signature; weights are passed as arguments (never closure constants).
 from __future__ import annotations
 
 import os
-from typing import Any, List, Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp

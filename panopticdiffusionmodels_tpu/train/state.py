@@ -15,7 +15,7 @@ TPU-native re-design of the reference TrainState/EMA machinery
 """
 from __future__ import annotations
 
-from typing import Any, Callable, Optional, Sequence
+from typing import Any, Optional, Sequence
 
 import flax.struct
 import jax

@@ -25,7 +25,7 @@ from __future__ import annotations
 
 import os
 import time
-from typing import Any, Callable, Optional
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
@@ -44,7 +44,6 @@ from ..diffusion import (
     l_simple_panoptic,
     stable_diffusion_beta_schedule,
 )
-from ..diffusion.analog_bits import ints_to_analog
 from ..diffusion.cfg import make_cfg_class_cond, make_cfg_t2i
 from ..models import get_nnet
 from ..models.vae import get_model as get_vae, sample_from_moments

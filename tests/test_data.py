@@ -114,3 +114,21 @@ def test_synthetic_factory():
     assert z.shape == (8, 8, 8)
     assert pan.dtype == np.int32
     assert 0 <= pan.min() and pan.max() <= 200
+
+
+def test_imagenet_raw_factory(tmp_path):
+    from PIL import Image
+
+    root = tmp_path / "imagenet" / "train"
+    for ci, cname in enumerate(["n01", "n02"]):
+        d = root / cname
+        d.mkdir(parents=True)
+        for j in range(3):
+            Image.new("RGB", (80, 70), (ci * 100, j * 40, 10)).save(d / f"{j}.JPEG")
+    ds = get_dataset("imagenet", path=str(tmp_path / "imagenet"), resolution=64)
+    assert len(ds.train) == 6
+    img, label = ds.train[0]
+    assert img.shape == (64, 64, 3)
+    assert label in (0, 1)
+    assert ds.data_shape == (64, 64, 3)
+    assert "imagenet64" in ds.fid_stat
