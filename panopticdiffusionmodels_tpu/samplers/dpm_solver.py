@@ -121,19 +121,19 @@ def _step_coeffs(ns: NoiseScheduleVP, s: float, t: float, order: int,
         d["phi_1"] = np.expm1(-h)
         if order >= 2:
             d["phi_11"] = np.expm1(-r1 * h)
+            d["phi_2"] = d["phi_1"] / h + 1.0
         if order >= 3:
             d["phi_12"] = np.expm1(-r2 * h)
             d["phi_22"] = np.expm1(-r2 * h) / (r2 * h) + 1.0
-            d["phi_2"] = d["phi_1"] / h + 1.0
             d["phi_3"] = d["phi_2"] / h - 0.5
     else:
         d["phi_1"] = np.expm1(h)
         if order >= 2:
             d["phi_11"] = np.expm1(r1 * h)
+            d["phi_2"] = d["phi_1"] / h - 1.0
         if order >= 3:
             d["phi_12"] = np.expm1(r2 * h)
             d["phi_22"] = np.expm1(r2 * h) / (r2 * h) - 1.0
-            d["phi_2"] = d["phi_1"] / h - 1.0
             d["phi_3"] = d["phi_2"] / h - 0.5
     return StepCoeffs(order=order, data=d)
 
@@ -159,12 +159,15 @@ class DPMSolver:
         predict_x0: bool = True,
         thresholding: bool = False,
         max_val: float = 1.0,
+        solver_type: str = "dpm_solver",
     ):
+        assert solver_type in ("dpm_solver", "taylor")
         self.model = model_fn
         self.ns = noise_schedule
         self.predict_x0 = predict_x0
         self.thresholding = thresholding
         self.max_val = max_val
+        self.solver_type = solver_type
 
     # --- device-side pieces -------------------------------------------------
 
@@ -238,12 +241,21 @@ class DPMSolver:
             noise_s1, pred_mask_s1 = self._call_model(
                 x_s1, c["s1"], c["sigma_s1"], c["alpha_s1"], mask_s1 if mask_t is not None else None
             )
-            x_t = (
-                _bcast(c["sigma_t"] / c["sigma_s"], x) * x
-                - _bcast(c["alpha_t"] * c["phi_1"], x) * noise_s
-                - _bcast((0.5 / c["r1"]) * c["alpha_t"] * c["phi_1"], x)
-                * (noise_s1 - noise_s)
-            )
+            if self.solver_type == "taylor":
+                # reference `dpm_solver_pp.py:559-564`
+                x_t = (
+                    _bcast(c["sigma_t"] / c["sigma_s"], x) * x
+                    - _bcast(c["alpha_t"] * c["phi_1"], x) * noise_s
+                    + _bcast((1.0 / c["r1"]) * c["alpha_t"] * c["phi_2"], x)
+                    * (noise_s1 - noise_s)
+                )
+            else:
+                x_t = (
+                    _bcast(c["sigma_t"] / c["sigma_s"], x) * x
+                    - _bcast(c["alpha_t"] * c["phi_1"], x) * noise_s
+                    - _bcast((0.5 / c["r1"]) * c["alpha_t"] * c["phi_1"], x)
+                    * (noise_s1 - noise_s)
+                )
             if mask_on:
                 mask_next = (
                     _bcast(c["sigma_t"] / c["sigma_s"], mask_t) * mask_t
@@ -261,12 +273,21 @@ class DPMSolver:
             noise_s1, _ = self._call_model(
                 x_s1, c["s1"], c["sigma_s1"], c["alpha_s1"], mask_t
             )
-            x_t = (
-                _bcast(jnp.exp(c["log_alpha_t"] - c["log_alpha_s"]), x) * x
-                - _bcast(c["sigma_t"] * c["phi_1"], x) * noise_s
-                - _bcast((0.5 / c["r1"]) * c["sigma_t"] * c["phi_1"], x)
-                * (noise_s1 - noise_s)
-            )
+            if self.solver_type == "taylor":
+                # reference `dpm_solver_pp.py:584-589`
+                x_t = (
+                    _bcast(jnp.exp(c["log_alpha_t"] - c["log_alpha_s"]), x) * x
+                    - _bcast(c["sigma_t"] * c["phi_1"], x) * noise_s
+                    - _bcast((1.0 / c["r1"]) * c["sigma_t"] * c["phi_2"], x)
+                    * (noise_s1 - noise_s)
+                )
+            else:
+                x_t = (
+                    _bcast(jnp.exp(c["log_alpha_t"] - c["log_alpha_s"]), x) * x
+                    - _bcast(c["sigma_t"] * c["phi_1"], x) * noise_s
+                    - _bcast((0.5 / c["r1"]) * c["sigma_t"] * c["phi_1"], x)
+                    * (noise_s1 - noise_s)
+                )
             mask_next = mask_t
         return x_t, pred_mask, mask_next
 
@@ -307,12 +328,26 @@ class DPMSolver:
             noise_s2, pred_mask_s2 = self._call_model(
                 x_s2, c["s2"], c["sigma_s2"], c["alpha_s2"], mask_s2 if mask_t is not None else None
             )
-            x_t = (
-                _bcast(c["sigma_t"] / c["sigma_s"], x) * x
-                - _bcast(c["alpha_t"] * c["phi_1"], x) * noise_s
-                + _bcast((1.0 / c["r2"]) * c["alpha_t"] * c["phi_2"], x)
-                * (noise_s2 - noise_s)
-            )
+            if self.solver_type == "taylor":
+                # reference `dpm_solver_pp.py:767-777`
+                d1_0 = _bcast(1.0 / c["r1"], x) * (noise_s1 - noise_s)
+                d1_1 = _bcast(1.0 / c["r2"], x) * (noise_s2 - noise_s)
+                rdiff = c["r2"] - c["r1"]
+                d1 = (_bcast(c["r2"], x) * d1_0 - _bcast(c["r1"], x) * d1_1) / _bcast(rdiff, x)
+                d2 = 2.0 * (d1_1 - d1_0) / _bcast(rdiff, x)
+                x_t = (
+                    _bcast(c["sigma_t"] / c["sigma_s"], x) * x
+                    - _bcast(c["alpha_t"] * c["phi_1"], x) * noise_s
+                    + _bcast(c["alpha_t"] * c["phi_2"], x) * d1
+                    - _bcast(c["alpha_t"] * c["phi_3"], x) * d2
+                )
+            else:
+                x_t = (
+                    _bcast(c["sigma_t"] / c["sigma_s"], x) * x
+                    - _bcast(c["alpha_t"] * c["phi_1"], x) * noise_s
+                    + _bcast((1.0 / c["r2"]) * c["alpha_t"] * c["phi_2"], x)
+                    * (noise_s2 - noise_s)
+                )
             if mask_on:
                 mask_next = (
                     _bcast(c["sigma_t"] / c["sigma_s"], mask_t) * mask_t
@@ -335,12 +370,26 @@ class DPMSolver:
                 * (noise_s1 - noise_s)
             )
             noise_s2, _ = self._call_model(x_s2, c["s2"], c["sigma_s2"], c["alpha_s2"], mask_t)
-            x_t = (
-                _bcast(jnp.exp(c["log_alpha_t"] - c["log_alpha_s"]), x) * x
-                - _bcast(c["sigma_t"] * c["phi_1"], x) * noise_s
-                - _bcast((1.0 / c["r2"]) * c["sigma_t"] * c["phi_2"], x)
-                * (noise_s2 - noise_s)
-            )
+            if self.solver_type == "taylor":
+                # reference `dpm_solver_pp.py:809-819`
+                d1_0 = _bcast(1.0 / c["r1"], x) * (noise_s1 - noise_s)
+                d1_1 = _bcast(1.0 / c["r2"], x) * (noise_s2 - noise_s)
+                rdiff = c["r2"] - c["r1"]
+                d1 = (_bcast(c["r2"], x) * d1_0 - _bcast(c["r1"], x) * d1_1) / _bcast(rdiff, x)
+                d2 = 2.0 * (d1_1 - d1_0) / _bcast(rdiff, x)
+                x_t = (
+                    _bcast(jnp.exp(c["log_alpha_t"] - c["log_alpha_s"]), x) * x
+                    - _bcast(c["sigma_t"] * c["phi_1"], x) * noise_s
+                    - _bcast(c["sigma_t"] * c["phi_2"], x) * d1
+                    - _bcast(c["sigma_t"] * c["phi_3"], x) * d2
+                )
+            else:
+                x_t = (
+                    _bcast(jnp.exp(c["log_alpha_t"] - c["log_alpha_s"]), x) * x
+                    - _bcast(c["sigma_t"] * c["phi_1"], x) * noise_s
+                    - _bcast((1.0 / c["r2"]) * c["sigma_t"] * c["phi_2"], x)
+                    * (noise_s2 - noise_s)
+                )
             mask_next = mask_t
         return x_t, pred_mask, mask_next
 

@@ -156,3 +156,39 @@ def test_adaptive_solver(rng):
     x_T = jax.random.normal(rng, (1, 4, 4, 4))
     x0 = solver.sample(x_T, eps=1e-3, order=3, method="adaptive")
     assert abs(float(np.mean(np.asarray(x0))) - 0.1) < 0.05
+
+
+@pytest.mark.parametrize("predict_x0", [True, False])
+def test_taylor_solver_type(rng, predict_x0):
+    """solver_type='taylor' (reference dpm_solver_pp.py:559-589,767-819) is also
+    exact on the delta model."""
+    ns = _ns()
+    model = _delta_model(0.45, ns)
+    solver = DPMSolver(model, ns, predict_x0=predict_x0, solver_type="taylor")
+    x_T = jax.random.normal(rng, (1, 4, 4, 4))
+    for order in (2, 3):
+        x0 = solver.sample(x_T, steps=12, eps=1e-3, order=order, method="singlestep")
+        expected = _exact_solution(ns, x_T, 0.45, 1.0, 1e-3)
+        np.testing.assert_allclose(np.asarray(x0), expected, atol=6e-3)
+
+
+def test_thresholding_clamps_x0(rng):
+    ns = _ns()
+    model = _delta_model(3.0, ns)  # x0 outside [-1, 1] triggers the clamp
+    plain = DPMSolver(model, ns, predict_x0=True)
+    thresh = DPMSolver(model, ns, predict_x0=True, thresholding=True, max_val=1.0)
+    x_T = jax.random.normal(rng, (1, 4, 4, 4))
+    x_plain = plain.sample(x_T, steps=6, eps=1e-3, order=1, method="singlestep")
+    x_thresh = thresh.sample(x_T, steps=6, eps=1e-3, order=1, method="singlestep")
+    assert float(np.abs(np.asarray(x_plain)).max()) > 2.0
+    assert float(np.abs(np.asarray(x_thresh)).max() ) < float(np.abs(np.asarray(x_plain)).max())
+
+
+def test_denoise_final_projection(rng):
+    ns = _ns()
+    model = _delta_model(0.25, ns)
+    solver = DPMSolver(model, ns, predict_x0=True)
+    x_T = jax.random.normal(rng, (1, 4, 4, 4))
+    x0 = solver.sample(x_T, steps=6, eps=1e-3, order=1, method="singlestep", denoise=True)
+    # final denoise projects exactly to the delta point
+    np.testing.assert_allclose(np.asarray(x0), 0.25, atol=5e-3)
