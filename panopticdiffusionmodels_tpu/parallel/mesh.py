@@ -43,8 +43,9 @@ def make_mesh(
     if dp is None:
         assert n % (fsdp * tp) == 0, f"{n} devices not divisible by fsdp*tp"
         dp = n // (fsdp * tp)
-    assert dp * fsdp * tp == n, f"mesh {dp}x{fsdp}x{tp} != {n} devices"
-    dev_array = np.asarray(devices).reshape(dp, fsdp, tp)
+    need = dp * fsdp * tp
+    assert need <= n, f"mesh {dp}x{fsdp}x{tp} needs {need} devices, have {n}"
+    dev_array = np.asarray(devices[:need]).reshape(dp, fsdp, tp)
     return Mesh(dev_array, AXES)
 
 

@@ -20,7 +20,9 @@ def test_mesh_shapes():
     mesh = make_mesh(dp=2, fsdp=2, tp=2)
     assert mesh.shape == {"dp": 2, "fsdp": 2, "tp": 2}
     with pytest.raises(AssertionError):
-        make_mesh(dp=3, fsdp=2, tp=2)
+        make_mesh(dp=3, fsdp=2, tp=2)  # 12 > 8 devices
+    # sub-meshes over fewer devices are allowed
+    assert make_mesh(dp=1).shape == {"dp": 1, "fsdp": 1, "tp": 1}
 
 
 def test_batch_sharding_dp(rng):
