@@ -39,16 +39,15 @@ def multi_head_attention(q, k, v, *, scale: Optional[float] = None, impl: str = 
         # impl='infer' to get the kernel where it wins.
         impl = "xla"
     if impl == "infer":
-        # Inference-only dispatch, calibrated on v5e (ms/call, B32 H8):
-        #   L=258 D64: xla 1.39 / pallas 1.39 (tie; kernel pads L->384)
-        #   L=590 D64: xla 2.13 / pallas 1.66 (panoptic seq; pad only ->640)
-        #   L=512 D128: xla 1.76 / pallas 1.99 (no lane headroom for f32 scores)
-        # VMEM-resident kernel when lane padding is cheap (<=20%) and the head
-        # dim leaves headroom; otherwise XLA.
-        l, d = q.shape[-2], q.shape[-1]
-        pad_ratio = (-(-l // 128) * 128) / l
-        on_tpu = jax.default_backend() in ("tpu", "axon")  # axon = tunneled TPU
-        impl = "pallas" if (on_tpu and d <= 64 and pad_ratio <= 1.2) else "xla"
+        # Inference dispatch hook.  In ISOLATED microbenchmarks on v5e the
+        # asymmetric-padding Pallas kernel beats XLA at every U-ViT shape
+        # (L258: 1.43 vs 2.32 ms; L590: 1.74 vs 2.11), but IN SITU the opaque
+        # pallas_call blocks XLA's fusion with neighboring ops and full-model
+        # sampling is equal (panoptic 6.85 vs 6.88 img/s) or slower (flagship
+        # 4.60 vs 5.55 img/s).  Until the kernel fuses the qkv projection /
+        # output projection into itself, XLA wins end-to-end; the kernel stays
+        # available via impl='pallas'.
+        impl = "xla"
     if impl == "pallas":
         from .pallas.fused_attention import fused_attention
 

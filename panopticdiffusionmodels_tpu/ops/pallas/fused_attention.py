@@ -36,7 +36,9 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _attention_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, l_actual: int):
-    # Block shapes: (1, Lp, Dp).  Softmax in f32.
+    # Block shapes: q/o (1, Lq, Dp), k/v (1, Lk, Dp) — Lq is only sublane-
+    # aligned (16) while Lk pays full 128-lane padding; scores are (Lq, Lk),
+    # ~30% less padded work than square padding at L=258.  Softmax in f32.
     q = q_ref[0].astype(jnp.float32)
     k = k_ref[0].astype(jnp.float32)
     v = v_ref[0].astype(jnp.float32)
@@ -44,8 +46,8 @@ def _attention_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, l_actual: int
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
     s = s * scale
-    lp = s.shape[-1]
-    if l_actual != lp:
+    lk = s.shape[-1]
+    if l_actual != lk:
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         s = jnp.where(col < l_actual, s, _NEG_INF)
     # Numerically stable softmax.
@@ -95,33 +97,36 @@ def _fused_attention_fwd_impl(q, k, v, scale: float):
 
         return _xla_attention(q, k, v, scale)
 
-    lp = _round_up(l, _LANE)
+    lq = _round_up(l, 16)  # query rows: sublane alignment only
+    lk = _round_up(l, _LANE)  # key/value rows: lane dim of the score matrix
     dp = _round_up(d, _LANE)
     bh = b * h
 
-    def prep(x):
+    def prep(x, lpad):
         x = x.reshape(bh, l, d)
-        if lp != l or dp != d:
-            x = jnp.pad(x, ((0, 0), (0, lp - l), (0, dp - d)))
+        if lpad != l or dp != d:
+            x = jnp.pad(x, ((0, 0), (0, lpad - l), (0, dp - d)))
         return x
 
-    qp, kp, vp = prep(q), prep(k), prep(v)
+    qp = prep(q, lq)
+    kp = prep(k, lk)
+    vp = prep(v, lk)
 
     kernel = functools.partial(_attention_kernel, scale=scale, l_actual=l)
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((bh, lp, dp), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((bh, lq, dp), q.dtype),
         grid=(bh,),
         in_specs=[
-            pl.BlockSpec((1, lp, dp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, lp, dp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, lp, dp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, lq, dp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, lk, dp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, lk, dp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, lp, dp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((1, lq, dp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         cost_estimate=pl.CostEstimate(
-            flops=2 * bh * (lp * lp * dp) * 2,
-            bytes_accessed=4 * bh * lp * dp * q.dtype.itemsize,
-            transcendentals=bh * lp * lp,
+            flops=2 * bh * (lq * lk * dp) * 2,
+            bytes_accessed=2 * bh * (lq + lk) * dp * q.dtype.itemsize,
+            transcendentals=bh * lq * lk,
         ),
     )(qp, kp, vp)
 
