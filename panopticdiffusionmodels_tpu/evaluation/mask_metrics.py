@@ -37,7 +37,15 @@ def eval_mask_cnt(pred_mask: np.ndarray, panoptic: np.ndarray) -> float:
 def get_colormap(path: str = "colormap.npy", force: bool = False,
                  seed: int = 0) -> np.ndarray:
     """(256, 3) uint8 id->RGB table, persisted for stable colors
-    (reference `utils.py:521-530`)."""
+    (reference `utils.py:521-530`).  Reads the reference's torch-format
+    `colormap.pt` too, so existing runs keep their colors."""
+    if not force and not os.path.isfile(path) and os.path.isfile("colormap.pt"):
+        try:
+            import torch
+
+            return torch.load("colormap.pt", map_location="cpu").numpy().astype(np.uint8)
+        except Exception:
+            pass
     if os.path.isfile(path) and not force:
         return np.load(path)
     rng = np.random.default_rng(seed)
