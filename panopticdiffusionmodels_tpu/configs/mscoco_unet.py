@@ -1,10 +1,12 @@
-"""MS-COCO panoptic with a pretrained UNet backbone (reference configs/mscoco_unet.py).
+"""MS-COCO panoptic with an SD-style UNet backbone (reference configs/mscoco_unet.py).
 
-The reference's `use_unet=True` path depends on a privately patched diffusers
-(`unet.add_mask_stream()` does not exist upstream — SURVEY.md §2 item 19); this
-config is accepted for parity but `use_unet` maps to the uvit_t2i backbone until
-a UNet family lands.  Tracked as an explicit capability gap."""
-from .base import adamw, autoencoder_block, base_config, d, sample_block, train_block, uvit_t2i, warmup
+The reference's `use_unet=True` depends on a privately patched diffusers
+(`unet.add_mask_stream()` is not public — SURVEY.md par.2 item 19); this config
+runs this framework's own UNet2DCondition + zero-gated mask stream
+(models/unet.py), faithful to the SD-1.x architecture the reference loads."""
+import ml_collections
+
+from .base import adamw, autoencoder_block, base_config, d, sample_block, train_block, warmup
 
 
 def get_config():
@@ -14,8 +16,21 @@ def get_config():
     config.train = train_block(1000000, 8, log_interval=20)
     config.optimizer = adamw(2e-4, 0.03, (0.9, 0.9))
     config.lr_scheduler = warmup(5000)
-    config.nnet = uvit_t2i(img_size=32, patch_size=2, embed_dim=512, depth=12, num_heads=8,
-                           enable_panoptic=True, separate=True, use_checkpoint=True, scan_blocks=True, mask_size=64)
+    config.nnet = d(
+        name="unet_t2i",
+        sample_size=32,
+        in_chans=4,
+        out_chans=4,
+        model_channels=320,
+        channel_mult=[1, 2, 4, 4],
+        num_res_blocks=2,
+        num_heads=8,
+        clip_dim=768,
+        num_clip_token=77,
+        enable_panoptic=True,
+        mask_bits=8,
+        mask_size=64,
+    )
     config.dataset = d(name="mscoco256_features", path="assets/datasets/coco256_sd_features",
                        cfg=True, p_uncond=0.1)
     config.sample = sample_block(50, 30000, 4, algorithm="dpm_solver", cfg=True, scale=1.0)

@@ -1,6 +1,12 @@
-"""MS-COCO 512 panoptic with a pretrained UNet backbone
-(reference configs/mscoco_unet_512.py; see mscoco_unet.py note on use_unet)."""
-from .base import adamw, autoencoder_block, base_config, d, sample_block, train_block, uvit_t2i, warmup
+"""MS-COCO panoptic with an SD-style UNet backbone (reference configs/mscoco_unet_512.py).
+
+The reference's `use_unet=True` depends on a privately patched diffusers
+(`unet.add_mask_stream()` is not public — SURVEY.md par.2 item 19); this config
+runs this framework's own UNet2DCondition + zero-gated mask stream
+(models/unet.py), faithful to the SD-1.x architecture the reference loads."""
+import ml_collections
+
+from .base import adamw, autoencoder_block, base_config, d, sample_block, train_block, warmup
 
 
 def get_config():
@@ -10,9 +16,22 @@ def get_config():
     config.train = train_block(1000000, 1, log_interval=20)
     config.optimizer = adamw(2e-4, 0.03, (0.9, 0.9))
     config.lr_scheduler = warmup(5000)
-    config.nnet = uvit_t2i(img_size=64, patch_size=2, embed_dim=512, depth=12, num_heads=8,
-                           enable_panoptic=True, separate=True, use_checkpoint=True, scan_blocks=True, mask_size=128)
-    config.dataset = d(name="mscoco256_features", path="assets/datasets/coco512_sd_features",
+    config.nnet = d(
+        name="unet_t2i",
+        sample_size=64,
+        in_chans=4,
+        out_chans=4,
+        model_channels=320,
+        channel_mult=[1, 2, 4, 4],
+        num_res_blocks=2,
+        num_heads=8,
+        clip_dim=768,
+        num_clip_token=77,
+        enable_panoptic=True,
+        mask_bits=8,
+        mask_size=128,
+    )
+    config.dataset = d(name="mscoco256_features", path="assets/datasets/coco256_sd_features",
                        cfg=True, p_uncond=0.1)
     config.sample = sample_block(30, 30000, 1, algorithm="dpm_solver", cfg=True, scale=1.0)
     config.use_unet = True

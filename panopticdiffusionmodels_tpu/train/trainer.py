@@ -60,7 +60,7 @@ from .state import (
 )
 
 def infer_task(config) -> str:
-    if config.nnet.name == "uvit_t2i":
+    if config.nnet.name in ("uvit_t2i", "unet_t2i"):
         return "t2i_discrete"
     if "autoencoder" in config and "z_shape" in config:
         if config.get("pred", None) and config.sample.algorithm != "dpm_solver":
@@ -265,12 +265,12 @@ class Trainer:
             loss_eps, loss_mask = l_simple_panoptic(
                 k2, z, nnet_fn, self.schedule, panoptic,
                 mask_bits=self.config.nnet.mask_bits,
-                use_ground_truth=self.config.nnet.use_ground_truth,
+                use_ground_truth=self.config.nnet.get("use_ground_truth", False),
                 use_twophases=bool(self.config.get("use_twophases", False)),
             )
             metrics["loss"] = loss_eps.mean()
             metrics["loss_mask"] = loss_mask.mean()
-            if self.config.nnet.use_ground_truth:
+            if self.config.nnet.get("use_ground_truth", False):
                 return loss_eps.mean(), metrics
             return loss_eps.mean() + loss_mask.mean(), metrics
         loss = l_simple(
@@ -319,7 +319,7 @@ class Trainer:
         # (Pallas kernel where it wins) without touching the training model.
         nnet = (
             self.nnet.clone(attn_impl="infer")
-            if self.nnet.attn_impl == "auto"
+            if getattr(self.nnet, "attn_impl", None) == "auto"
             else self.nnet
         )
 
