@@ -43,7 +43,7 @@ class GenerationPipeline:
         nnet_kwargs.pop("name")
         nnet_kwargs.pop("use_ground_truth", None)
         nnet_kwargs["dtype"] = _dtype(config.get("compute_dtype", "bfloat16"))
-        if nnet_kwargs.get("attn_impl", "auto") == "auto":
+        if config.nnet.name != "unet_t2i" and nnet_kwargs.get("attn_impl", "auto") == "auto":
             nnet_kwargs["attn_impl"] = "infer"  # inference-only dispatch
         self.nnet = get_nnet(config.nnet.name, **nnet_kwargs)
         self.params = nnet_params
@@ -54,7 +54,7 @@ class GenerationPipeline:
         self.betas = stable_diffusion_beta_schedule()
         self.schedule = Schedule(self.betas)
         self.ns = NoiseScheduleVP("discrete", betas=self.betas)
-        self.is_t2i = config.nnet.name == "uvit_t2i"
+        self.is_t2i = config.nnet.name in ("uvit_t2i", "unet_t2i")
         self.panoptic = self.is_t2i and config.nnet.enable_panoptic
         if empty_context is None and self.is_t2i:
             empty_context = np.zeros(
@@ -87,12 +87,12 @@ class GenerationPipeline:
         nnet = get_nnet(name, **nnet_kwargs)
 
         # init (one jitted program), then overlay weights
-        h = config.nnet.img_size
+        h = config.nnet.get("img_size", None) or config.nnet.get("sample_size")
         c = config.nnet.get("in_chans", 4)
         x = jnp.zeros((1, h, h, c))
         t = jnp.zeros((1,))
         key = jax.random.PRNGKey(seed)
-        if name == "uvit_t2i":
+        if name in ("uvit_t2i", "unet_t2i"):
             ctx = jnp.zeros((1, config.nnet.num_clip_token, config.nnet.clip_dim))
             if config.nnet.enable_panoptic:
                 m = jnp.zeros(
@@ -111,7 +111,7 @@ class GenerationPipeline:
         else:
             params = jax.jit(lambda k: nnet.init(k, x, t))(key)
 
-        if nnet_path and os.path.exists(nnet_path):
+        if nnet_path and os.path.exists(nnet_path) and name != "unet_t2i":
             from .train.trainer import _merge_params
             from .utils.torch_bridge import (
                 convert_uvit,
@@ -155,9 +155,8 @@ class GenerationPipeline:
         N = self.schedule.N
         scale = config.sample.get("scale", 0.0)
         cfg_on = bool(config.sample.get("cfg", False))
-        z_shape = tuple(config.get("z_shape", (config.nnet.img_size,
-                                               config.nnet.img_size,
-                                               config.nnet.get("in_chans", 4))))
+        hw = config.nnet.get("img_size", None) or config.nnet.get("sample_size")
+        z_shape = tuple(config.get("z_shape", (hw, hw, config.nnet.get("in_chans", 4))))
 
         def decode(vae_params, z):
             if self.vae is not None and vae_params is not None:

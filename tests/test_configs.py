@@ -7,7 +7,7 @@ def test_all_configs_load():
     assert len(CONFIG_NAMES) == 16  # 15 reference mirrors + synthetic_tiny
     for name in CONFIG_NAMES:
         config = get_config(name)
-        assert config.nnet.name in ("uvit", "uvit_t2i")
+        assert config.nnet.name in ("uvit", "uvit_t2i", "unet_t2i")
         assert config.train.batch_size >= 1
         assert config.optimizer.name == "adamw"
 

@@ -38,3 +38,21 @@ def test_class_cond_pipeline_generate():
     images = pipe.generate(labels=[1, 5, 9], steps=6)
     assert images.shape == (3, 8, 8, 4)
     assert np.isfinite(images).all()
+
+
+def test_unet_pipeline_generate():
+    from panopticdiffusionmodels_tpu.configs import get_config
+
+    config = get_config("mscoco_unet")
+    config.compute_dtype = "float32"
+    config.z_shape = (8, 8, 4)
+    config.nnet.update(dict(sample_size=8, model_channels=32, channel_mult=[1, 2],
+                            num_res_blocks=1, num_heads=4, clip_dim=16,
+                            num_clip_token=7, mask_size=16))
+    config.sample.sample_steps = 6
+    from panopticdiffusionmodels_tpu.serving import GenerationPipeline
+
+    pipe = GenerationPipeline.from_config(config)
+    images, masks = pipe.generate(contexts=np.zeros((2, 7, 16), np.float32), steps=6)
+    assert images.shape == (2, 8, 8, 4)
+    assert masks.shape == (2, 16, 16, 1)
