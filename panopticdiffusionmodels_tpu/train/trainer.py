@@ -124,14 +124,27 @@ class Trainer:
         if config.get("pretrained", ""):
             pretrained = config.pretrained
             if os.path.exists(pretrained):
-                from ..utils.torch_bridge import convert_uvit_t2i, load_torch_state_dict
+                from ..utils.torch_bridge import load_torch_state_dict
 
                 sd = load_torch_state_dict(pretrained)
-                loaded = convert_uvit_t2i(
-                    sd, depth=config.nnet.depth,
-                    mlp_time_embed=config.nnet.mlp_time_embed,
-                    scan_blocks=config.nnet.get("scan_blocks", False),
-                )
+                if config.nnet.name == "unet_t2i":
+                    # miniSD / LDM checkpoint (reference use_unet path,
+                    # train_t2i_discrete.py:279-287)
+                    from ..utils.ldm_bridge import convert_ldm_unet
+
+                    loaded = convert_ldm_unet(
+                        sd,
+                        channel_mult=tuple(config.nnet.channel_mult),
+                        num_res_blocks=config.nnet.num_res_blocks,
+                    )
+                else:
+                    from ..utils.torch_bridge import convert_uvit_t2i
+
+                    loaded = convert_uvit_t2i(
+                        sd, depth=config.nnet.depth,
+                        mlp_time_embed=config.nnet.mlp_time_embed,
+                        scan_blocks=config.nnet.get("scan_blocks", False),
+                    )
                 params = _merge_params(params, loaded)
                 logging.info(f"loaded pretrained image stream from {pretrained}")
             # Freeze exactly the reference's image-stream set; the mask
