@@ -295,10 +295,33 @@ class Trainer:
         return loss.mean(), metrics
 
     def _train_step_impl(self, state: TrainState, batch, key):
-        (loss, metrics), grads = jax.value_and_grad(self._loss, has_aux=True)(
-            state.params, batch, key
-        )
         import optax
+
+        accum = int(self.config.train.get("grad_accum", 1))
+        grad_fn = jax.value_and_grad(self._loss, has_aux=True)
+        if accum <= 1:
+            (loss, metrics), grads = grad_fn(state.params, batch, key)
+        else:
+            # Gradient accumulation: split the batch into `accum` microbatches
+            # and lax.scan the grad computation — activation memory scales with
+            # the microbatch while the optimizer sees the full-batch gradient.
+            # (Neither the reference nor its launches use accumulation,
+            # SURVEY.md par.2.2; this is a capability extension for
+            # memory-limited chips.)
+            micro = jax.tree.map(
+                lambda x: x.reshape(accum, x.shape[0] // accum, *x.shape[1:]), batch
+            )
+            keys = jax.random.split(key, accum)
+
+            def body(carry, xs):
+                mb, k = xs
+                (_, m), g = grad_fn(state.params, mb, k)
+                return jax.tree.map(jnp.add, carry, g), m
+
+            zero = jax.tree.map(jnp.zeros_like, state.params)
+            grads, metrics = jax.lax.scan(body, zero, (micro, keys))
+            grads = jax.tree.map(lambda g: g / accum, grads)
+            metrics = jax.tree.map(lambda m: jnp.mean(m), metrics)
 
         metrics["grad_norm"] = optax.global_norm(grads)
         new_state = state.apply_gradients(
