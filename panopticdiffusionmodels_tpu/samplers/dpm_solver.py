@@ -457,6 +457,7 @@ class DPMSolver:
         method: str = "fast",
         skip_type: str = "time_uniform",
         mask_token=None,
+        update_mask: bool = True,
         denoise: bool = False,
     ):
         """Integrate from t_T to t_0.  Pure function of (x, mask_token): safe to
@@ -466,7 +467,12 @@ class DPMSolver:
         """
         t_0 = eps
         t_T = self.ns.T if T is None else T
-        mask_on = mask_token is not None
+        mask_on = mask_token is not None and update_mask
+        # update_mask=False == the reference's enable_mask_opt=False: the mask
+        # still conditions the model every call, but its trajectory is not
+        # integrated — each update returns (x_t, pred_mask, pred_mask)
+        # (reference `dpm_solver_pp.py:475,599,829`).
+        mask_fixed = mask_token is not None and not update_mask
 
         if method == "adaptive":
             x = self._sample_adaptive(x, order, t_T, t_0)
@@ -487,12 +493,18 @@ class DPMSolver:
                 x, pm, mask_t = update(x, c, mask_t, mask_on)
                 if mask_on:
                     pred_mask = pm
+                elif mask_fixed:
+                    pred_mask = pm
+                    mask_t = pm
             else:
                 def body(carry, c, _update=update):
                     x, pred_mask, mask_t = carry
                     x, pm, mask_t = _update(x, c, mask_t, mask_on)
                     if mask_on:
                         pred_mask = pm
+                    elif mask_fixed:
+                        pred_mask = pm
+                        mask_t = pm
                     return (x, pred_mask, mask_t), None
 
                 (x, pred_mask, mask_t), _ = jax.lax.scan(
@@ -501,7 +513,7 @@ class DPMSolver:
 
         if denoise:
             x = self._denoise(x, t_0)
-        return (x, pred_mask) if mask_on else x
+        return (x, pred_mask) if (mask_on or mask_fixed) else x
 
     def _denoise(self, x, s: float):
         """Final x0 projection (reference `dpm_solver_pp.py:407-418`)."""

@@ -419,16 +419,22 @@ class Trainer:
         # t2i_discrete
         empty_context = np.asarray(self.dataset.empty_context)
         panoptic_on = bool(config.nnet.enable_panoptic)
+        gt_mode = bool(config.nnet.get("use_ground_truth", False))
 
-        def sample_fn(params, vae_params, key, context, n: int = None):
-            cfg_fn = make_cfg_t2i(
-                lambda xx, tt, cc, mask_token=None: nnet.apply(
-                    params, xx, tt, cc, mask_token=mask_token
-                ),
-                empty_context,
-                scale=scale,
-                enabled=cfg_on,
-            )
+        def sample_fn(params, vae_params, key, context, panoptic=None, n: int = None):
+            """panoptic: integer GT maps, required when nnet.use_ground_truth —
+            the model is conditioned on the true mask and echoes it (reference
+            `train_t2i_discrete.py:491-494,539`)."""
+            use_gt = gt_mode and panoptic is not None
+
+            def apply_nnet(xx, tt, cc, mask_token=None):
+                if use_gt:
+                    return nnet.apply(params, xx, tt, cc, mask_token=mask_token,
+                                      use_ground_truth=True)
+                return nnet.apply(params, xx, tt, cc, mask_token=mask_token)
+
+            cfg_fn = make_cfg_t2i(apply_nnet, empty_context, scale=scale,
+                                  enabled=cfg_on)
             n = context.shape[0]
             k1, k2 = jax.random.split(key)
             z_init = jax.random.normal(k1, (n, *z_shape))
@@ -438,13 +444,20 @@ class Trainer:
                 self.noise_schedule, predict_x0=True,
             )
             if panoptic_on:
-                mask_init = jax.random.normal(
-                    k2, (n, config.nnet.mask_size, config.nnet.mask_size,
-                         config.nnet.mask_bits)
-                )
+                if use_gt:
+                    from ..diffusion.analog_bits import ints_to_analog
+
+                    mask_init = ints_to_analog(
+                        panoptic, n=config.nnet.mask_bits, dtype=z_init.dtype
+                    )
+                else:
+                    mask_init = jax.random.normal(
+                        k2, (n, config.nnet.mask_size, config.nnet.mask_size,
+                             config.nnet.mask_bits)
+                    )
                 z, pred_mask = solver.sample(
                     z_init, steps=steps, eps=1.0 / N, T=1.0, order=3, method="fast",
-                    mask_token=mask_init,
+                    mask_token=mask_init, update_mask=not use_gt,
                 )
             else:
                 z = solver.sample(z_init, steps=steps, eps=1.0 / N, T=1.0, order=3,

@@ -60,3 +60,28 @@ def test_sampling_batch_is_deterministic_given_key(tiny_trainer):
     x1, m1 = sample_fn(*w, key, ctx)
     x2, m2 = sample_fn(*w, key, ctx)
     np.testing.assert_array_equal(np.asarray(x1), np.asarray(x2))
+
+
+def test_ground_truth_mask_sampling(tmp_path):
+    """nnet.use_ground_truth: the sampler conditions on (and echoes) the GT
+    mask instead of integrating a mask trajectory (reference
+    train_t2i_discrete.py:491-494,539)."""
+    from panopticdiffusionmodels_tpu.configs import get_config
+    from panopticdiffusionmodels_tpu.train.trainer import Trainer
+    from panopticdiffusionmodels_tpu.diffusion.analog_bits import ints_to_analog
+
+    config = get_config("synthetic_tiny")
+    config.nnet.use_ground_truth = True
+    trainer = Trainer(config, str(tmp_path))
+    sample_fn = jax.jit(trainer.build_sample_fn(sample_steps=6))
+    panoptic = jax.numpy.asarray(
+        np.random.default_rng(0).integers(0, 201, (2, 16, 16, 1))
+    )
+    x, pred_mask = sample_fn(
+        *trainer.sample_weights(), jax.random.PRNGKey(0),
+        jax.numpy.zeros((2, 7, 16)), panoptic
+    )
+    assert x.shape == (2, 8, 8, 4)
+    # GT mode echoes the analog-encoded ground truth exactly
+    expected = np.asarray(ints_to_analog(panoptic))
+    np.testing.assert_allclose(np.asarray(pred_mask), expected, atol=1e-6)
