@@ -99,7 +99,14 @@ def make_eval_sample_fn(trainer: Trainer, sample_steps: int, batch_size: int):
             else:
                 moments, context = batch[:2]
                 panoptic, index = None, fallback_index
-            samples_out = jit_sample(*weights, next_key(), jax.numpy.asarray(context))
+            if config.nnet.get("use_ground_truth", False) and panoptic is not None:
+                # GT-conditioned evaluation (reference eval with use_ground_truth)
+                samples_out = jit_sample(
+                    *weights, next_key(), jax.numpy.asarray(context),
+                    jax.numpy.asarray(panoptic),
+                )
+            else:
+                samples_out = jit_sample(*weights, next_key(), jax.numpy.asarray(context))
             if panoptic_on:
                 samples, pred_mask = samples_out
                 if panoptic is not None:
