@@ -141,3 +141,20 @@ def test_gradient_accumulation_matches_full_batch(tmp_path):
     assert int(trainer.state.step) == 3
     for m in metrics:
         assert np.isfinite(m["loss"]) and np.isfinite(m["grad_norm"])
+
+
+def test_latent_sde_task(tmp_path):
+    """train_ldm.py equivalent: moments -> VAE draw -> continuous VP-SDE loss."""
+    config = _latent_discrete_config()
+    config.task = "latent_sde"
+    config.pred = "noise_pred"
+    config.sample.algorithm = "euler_maruyama_ode"
+    trainer = Trainer(config, str(tmp_path))
+    assert trainer.task == "latent_sde"
+    metrics = trainer.fit(max_steps=3)
+    assert all(np.isfinite(m["loss"]) for m in metrics)
+    sample_fn = jax.jit(trainer.build_sample_fn(sample_steps=5), static_argnames="n")
+    out = sample_fn(*trainer.sample_weights(), jax.random.PRNGKey(0),
+                    jnp.array([1, 2]), n=2)
+    assert out.shape == (2, 8, 8, 4)
+    assert bool(jnp.isfinite(out).all())
