@@ -20,9 +20,10 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 # Column-parallel params: output dim (last axis of the kernel) is split.
-_TP_COL = ("qkv", "fc1")
+# (U-ViT naming + the UNet family's to_q/to_k/to_v and GEGLU ff_proj.)
+_TP_COL = ("qkv", "fc1", "to_q", "to_k", "to_v", "ff_proj")
 # Row-parallel params: input dim (first axis of the kernel) is split.
-_TP_ROW = ("proj", "fc2")
+_TP_ROW = ("proj", "fc2", "to_out", "ff_out")
 
 _FSDP_MIN_SIZE = 1 << 16
 
