@@ -423,6 +423,21 @@ class DPMSolver:
                 )
                 plan.append(_step_coeffs(self.ns, float(s), float(t), o, r1, r2, self.predict_x0))
                 i += o
+        elif method == "fast_upstream":
+            # The unmodified upstream plan (reference dpm_solver_pytorch.py:509-588):
+            # a COARSE K-step grid with default r1/r2 per mixed-order step, unlike
+            # the modified 'fast' which refines r1/r2 from a fine grid.  This is
+            # the plan behind the reference's continuous-model FID protocols
+            # (train.py eval).
+            orders = get_orders_for_fast(steps, order)
+            timesteps = get_time_steps(self.ns, skip_type, t_T, t_0, len(orders))
+            plan = [
+                _step_coeffs(
+                    self.ns, float(timesteps[i]), float(timesteps[i + 1]), o,
+                    None, None, self.predict_x0,
+                )
+                for i, o in enumerate(orders)
+            ]
         elif method == "singlestep":
             n_steps = steps // order
             timesteps = get_time_steps(self.ns, skip_type, t_T, t_0, n_steps)

@@ -379,14 +379,15 @@ class Trainer:
                     x = euler_maruyama(k2, ReverseSDE(sm), x_init, steps, **kwargs)
                 elif config.sample.algorithm == "euler_maruyama_ode":
                     x = euler_maruyama(k2, ODE(sm), x_init, steps, **kwargs)
-                else:  # continuous dpm_solver (reference train.py:115-130)
+                else:  # continuous dpm_solver (reference train.py:115-130):
+                    # upstream plan semantics (coarse logSNR grid, default r's)
                     ns = NoiseScheduleVP("linear")
                     solver = DPMSolver(
                         lambda xx, tt, mask_token=None: sm.noise_pred(xx, tt, **kwargs),
                         ns, predict_x0=False,
                     )
                     x = solver.sample(x_init, steps=steps, eps=1e-4, T=1.0, order=3,
-                                      method="singlestep")
+                                      method="fast_upstream", skip_type="logSNR")
                 if self.task == "latent_sde":
                     x = maybe_decode(vae_params, x)
                 return x

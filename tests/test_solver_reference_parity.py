@@ -166,3 +166,74 @@ def test_mask_trajectory_matches_reference():
     )
     np.testing.assert_allclose(np.asarray(our_x), ref_x.numpy(), rtol=2e-3, atol=2e-3)
     np.testing.assert_allclose(np.asarray(our_mask), ref_mask.numpy(), rtol=2e-3, atol=2e-3)
+
+
+def test_continuous_linear_solver_matches_upstream():
+    """The continuous path (predict_x0=False, 'linear' schedule) vs the
+    reference's unmodified upstream solver (dpm_solver_pytorch.py)."""
+    import dpm_solver_pytorch as up
+
+    ours_ns = NoiseScheduleVP("linear", beta_0=1e-4, beta_1=2e-2)
+    ref_ns = up.NoiseScheduleVP(schedule="linear")
+
+    x0 = np.random.default_rng(2).normal(size=(2, 4, 4, 3)).astype(np.float32)
+
+    def ref_model(x, t_cont):
+        # eps(x, t) = (x - alpha tanh(x)) / sigma, continuous time
+        # (upstream NoiseScheduleVP has no marginal_alpha helper)
+        a = torch.exp(ref_ns.marginal_log_mean_coeff(t_cont)).reshape(-1, 1, 1, 1)
+        s = ref_ns.marginal_std(t_cont).reshape(-1, 1, 1, 1)
+        return (x - a * torch.tanh(x)) / s
+
+    rsolver = up.DPM_Solver(ref_model, ref_ns)  # upstream: eps-pred only
+    with torch.no_grad():
+        ref_x = rsolver.sample(
+            torch.tensor(x0), steps=12, eps=1e-4, T=None, order=3,
+            skip_type="logSNR", fast_version=True,
+        ).numpy()
+
+    t_np = np.linspace(1e-5, 1, 20001)
+    alpha_j = jnp.asarray(ours_ns.marginal_alpha(t_np), jnp.float32)
+    sigma_j = jnp.asarray(np.maximum(ours_ns.marginal_std(t_np), 1e-12), jnp.float32)
+    t_j = jnp.asarray(t_np, jnp.float32)
+
+    def our_model(x, t_vec, mask_token=None):
+        a = jnp.interp(t_vec[0], t_j, alpha_j)
+        s = jnp.interp(t_vec[0], t_j, sigma_j)
+        return (x - a * jnp.tanh(x)) / s
+
+    solver = DPMSolver(our_model, ours_ns, predict_x0=False)
+    # the upstream fast plan: coarse K-grid + default r1/r2
+    ours = solver.sample(
+        jnp.asarray(x0), steps=12, eps=1e-4, T=1.0, order=3,
+        method="fast_upstream", skip_type="logSNR",
+    )
+    np.testing.assert_allclose(np.asarray(ours), ref_x, rtol=2e-3, atol=2e-3)
+
+
+def test_euler_maruyama_ode_matches_reference():
+    """Deterministic EM-ODE trajectory vs reference sde.euler_maruyama."""
+    import sde as ref_sde
+
+    from panopticdiffusionmodels_tpu.diffusion.sde import ODE, ScoreModel, VPSDE
+    from panopticdiffusionmodels_tpu.samplers import euler_maruyama
+
+    x0 = np.random.default_rng(3).normal(size=(2, 4, 4, 3)).astype(np.float32)
+
+    class TorchNet(torch.nn.Module):
+        def forward(self, x, t_scaled, **kw):
+            return torch.tanh(x) * 0.3
+
+    ref_model = ref_sde.ScoreModel(TorchNet(), pred="noise_pred", sde=ref_sde.VPSDE())
+    with torch.no_grad():
+        ref_x = ref_sde.euler_maruyama(
+            ref_sde.ODE(ref_model), torch.tensor(x0), sample_steps=50
+        ).numpy()
+
+    our_model = ScoreModel(
+        lambda x, t_scaled, **kw: jnp.tanh(x) * 0.3, "noise_pred", VPSDE()
+    )
+    ours = euler_maruyama(
+        jax.random.PRNGKey(0), ODE(our_model), jnp.asarray(x0), sample_steps=50
+    )
+    np.testing.assert_allclose(np.asarray(ours), ref_x, rtol=2e-4, atol=2e-4)
