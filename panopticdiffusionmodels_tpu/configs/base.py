@@ -22,6 +22,9 @@ def d(**kwargs):
 def base_config(seed: int = 1234) -> ml_collections.ConfigDict:
     config = ml_collections.ConfigDict()
     config.seed = seed
+    # One of train.trainer.TASKS; every zoo config sets this explicitly
+    # (replacing the reference's implicit per-script dispatch).
+    config.task = ""
     config.pred = "noise_pred"
     config.compute_dtype = "bfloat16"
     config.ema_rate = 0.9999

@@ -4,6 +4,7 @@ from .base import adamw, base_config, d, sample_block, train_block, uvit, warmup
 
 def get_config():
     config = base_config()
+    config.task = "pixel_sde"
     config.train = train_block(500000, 128, mode="uncond", eval_interval=5000)
     config.optimizer = adamw(2e-4, 0.03, (0.99, 0.999))
     config.lr_scheduler = warmup(2500)

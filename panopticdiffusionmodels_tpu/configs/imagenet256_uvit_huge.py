@@ -4,6 +4,7 @@ from .base import adamw, autoencoder_block, base_config, d, sample_block, train_
 
 def get_config():
     config = base_config()
+    config.task = "latent_discrete"
     config.z_shape = (32, 32, 4)
     config.autoencoder = autoencoder_block("assets/stable-diffusion/autoencoder_kl_ema.pth")
     config.train = train_block(500000, 1024, mode="cond")

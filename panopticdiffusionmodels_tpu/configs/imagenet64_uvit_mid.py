@@ -4,6 +4,7 @@ from .base import adamw, base_config, d, sample_block, train_block, uvit, warmup
 
 def get_config():
     config = base_config()
+    config.task = "pixel_sde"
     config.train = train_block(600000, 512, mode="cond")
     config.optimizer = adamw(3e-4, 0.03, (0.99, 0.99))
     config.lr_scheduler = warmup(5000)

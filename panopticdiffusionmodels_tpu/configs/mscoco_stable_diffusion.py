@@ -5,6 +5,7 @@ from .base import adamw, autoencoder_block, base_config, d, sample_block, train_
 
 def get_config():
     config = base_config()
+    config.task = "t2i_discrete"
     config.z_shape = (32, 32, 4)
     config.autoencoder = autoencoder_block(scale_factor=0.18215)
     config.train = train_block(1000000, 64, log_interval=20)

@@ -4,6 +4,7 @@ from .base import adamw, autoencoder_block, base_config, d, sample_block, train_
 
 def get_config():
     config = base_config()
+    config.task = "t2i_discrete"
     config.z_shape = (8, 8, 4)
     config.compute_dtype = "float32"
     config.autoencoder = autoencoder_block(scale_factor=0.23010)

@@ -70,6 +70,16 @@ def _context_stream(trainer: Trainer, batch_size: int):
         yield from loader.epoch()
 
 
+def _n_real_classes(config) -> int:
+    """Real (non-null) class count for conditional sampling.  With CFG,
+    `nnet.num_classes` includes the null class used as the unconditional label
+    (reference `eval.py:43-46`: labels drawn in [0, K), null = K); without CFG
+    every class id is real (e.g. imagenet64, num_classes=1000)."""
+    k = config.nnet.get("num_classes", -1)
+    assert k > 0, "conditional sampling needs config.nnet.num_classes"
+    return k - 1 if config.sample.get("cfg", False) else k
+
+
 def make_eval_sample_fn(trainer: Trainer, sample_steps: int, batch_size: int):
     """Returns sample_fn(batch_size) with the sample2dir contract."""
     config = trainer.config
@@ -124,7 +134,7 @@ def make_eval_sample_fn(trainer: Trainer, sample_steps: int, batch_size: int):
     if task == "latent_discrete" or (
         task in ("pixel_sde", "latent_sde") and config.train.get("mode") == "cond"
     ):
-        n_classes = 1000
+        n_classes = _n_real_classes(config)
 
         def sample_fn(n):
             y = jax.random.randint(next_key(), (n,), 0, n_classes)
@@ -239,7 +249,7 @@ def make_vis_callback(n_images: int = 16, sample_steps: int = 50):
             ctx = np.stack([np.asarray(test[i][1]) for i in range(n)])
             out = cache["fn"](*weights, key, jnp.asarray(ctx))
         elif task == "latent_discrete" or trainer.config.train.get("mode") == "cond":
-            y = jax.random.randint(key, (n,), 0, 1000)
+            y = jax.random.randint(key, (n,), 0, _n_real_classes(trainer.config))
             out = cache["fn"](*weights, key, y)
         else:
             out = cache["fn"](*weights, key, None, n=n)

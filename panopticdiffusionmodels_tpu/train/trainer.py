@@ -59,13 +59,22 @@ from .state import (
     panoptic_image_stream_mask,
 )
 
+TASKS = ("pixel_sde", "latent_sde", "latent_discrete", "t2i_discrete")
+
+
 def infer_task(config) -> str:
+    """Fallback for configs that don't set `config.task` (every zoo config
+    does).  The latent family is REFUSED here rather than guessed: `pred` is
+    set in every base config and both latent variants sample with dpm_solver
+    in the reference (`train_ldm.py` vs `train_ldm_discrete.py`), so any
+    heuristic silently trains the wrong loss for one of them."""
     if config.nnet.name in ("uvit_t2i", "unet_t2i"):
         return "t2i_discrete"
     if "autoencoder" in config and "z_shape" in config:
-        if config.get("pred", None) and config.sample.algorithm != "dpm_solver":
-            return "latent_sde"
-        return "latent_discrete"
+        raise ValueError(
+            "ambiguous latent config: set config.task to 'latent_discrete' "
+            "or 'latent_sde' explicitly"
+        )
     return "pixel_sde"
 
 
@@ -77,6 +86,7 @@ class Trainer:
     def __init__(self, config, workdir: Optional[str] = None):
         self.config = config
         self.task = config.get("task", None) or infer_task(config)
+        assert self.task in TASKS, f"unknown task {self.task!r}, expected one of {TASKS}"
         self.workdir = workdir or config.get("workdir", "") or "results/run"
         self.ckpt_root = os.path.join(self.workdir, "ckpts")
         self.sample_dir = os.path.join(self.workdir, "samples")

@@ -25,6 +25,7 @@ def test_class_cond_pipeline_generate():
     )
 
     config = base_config()
+    config.task = "latent_discrete"
     config.compute_dtype = "float32"
     config.z_shape = (8, 8, 4)
     config.autoencoder = autoencoder_block(scale_factor=0.23)
