@@ -34,6 +34,6 @@ def get_config():
     )
     config.dataset = d(name="mscoco256_features", path="assets/datasets/coco256_sd_features",
                        cfg=True, p_uncond=0.1)
-    config.sample = sample_block(30, 30000, 1, algorithm="dpm_solver", cfg=True, scale=1.0)
+    config.sample = sample_block(30, 30000, 1, algorithm="pndm", cfg=True, scale=1.0)
     config.use_unet = True
     return config

@@ -449,6 +449,28 @@ class Trainer:
             n = context.shape[0]
             k1, k2 = jax.random.split(key)
             z_init = jax.random.normal(k1, (n, *z_shape))
+            if config.sample.algorithm == "pndm":
+                # Reference UNet-family sampling: SD-1.5 PNDM/PLMS scheduler,
+                # mask_token FIXED across NFEs (train_t2i_discrete.py:525-534).
+                from ..samplers.pndm import pndm_sample
+
+                acp = self.schedule.cum_alphas[1:]  # diffusers-convention table
+
+                def model_fn(xx, tt, mask_token=None):
+                    return cfg_fn(xx, tt, context, mask_token=mask_token)
+
+                if panoptic_on:
+                    mask_init = jax.random.normal(
+                        k2, (n, config.nnet.mask_size, config.nnet.mask_size,
+                             config.nnet.mask_bits)
+                    )
+                    z, pred_mask = pndm_sample(model_fn, z_init, steps, acp,
+                                               num_train_timesteps=N,
+                                               mask_token=mask_init)
+                    return maybe_decode(vae_params, z), pred_mask
+                z = pndm_sample(model_fn, z_init, steps, acp,
+                                num_train_timesteps=N)
+                return maybe_decode(vae_params, z)
             solver = DPMSolver(
                 lambda xx, tt, mask_token=None: cfg_fn(xx, tt * N, context,
                                                        mask_token=mask_token),
