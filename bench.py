@@ -52,6 +52,7 @@ def build_pipeline(batch_size: int):
     model = UViT(
         img_size=32, patch_size=2, in_chans=4, embed_dim=1024, depth=20,
         num_heads=16, num_classes=1001, dtype=jnp.bfloat16, scan_blocks=True,
+        attn_impl="infer",  # packed-qkv Pallas kernel on the sampling hot path
     )
     params = jax.jit(model.init)(
         jax.random.PRNGKey(0),
@@ -85,7 +86,7 @@ def build_pipeline(batch_size: int):
 
 
 def main():
-    batch_size = int(os.environ.get("BENCH_BATCH", "16"))
+    batch_size = int(os.environ.get("BENCH_BATCH", "32"))
     reps = int(os.environ.get("BENCH_REPS", "3"))
     pipeline, params, vae_params = build_pipeline(batch_size)
     key = jax.random.PRNGKey(42)

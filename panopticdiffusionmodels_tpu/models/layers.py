@@ -6,7 +6,8 @@ Functional equivalents of the reference building blocks (`libs/uvit.py:20-135`,
   * channel-last (NHWC) layout everywhere — the native TPU conv/reshape layout,
   * patch embedding as reshape + matmul instead of a strided conv (identical math
     for kernel_size == stride, but lowers to a single MXU matmul),
-  * attention behind `ops.multi_head_attention` (XLA or Pallas fused kernel),
+  * attention behind `ops.attention_qkv` (XLA path, or the packed-qkv Pallas
+    kernel on the inference hot path),
   * float32 parameters with a configurable compute dtype (bf16 on TPU).
 """
 from __future__ import annotations
@@ -18,7 +19,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ..ops.attention import multi_head_attention
+from ..ops.attention import attention_qkv
 
 Dtype = Any
 
@@ -134,11 +135,7 @@ class Attention(nn.Module):
             dtype=self.dtype,
             name="qkv",
         )(x)
-        qkv = qkv.reshape(b, l, 3, self.num_heads, head_dim)
-        qkv = qkv.transpose(2, 0, 3, 1, 4)  # 3 B H L D
-        q, k, v = qkv[0], qkv[1], qkv[2]
-        out = multi_head_attention(q, k, v, scale=scale, impl=self.attn_impl)
-        out = out.transpose(0, 2, 1, 3).reshape(b, l, c)
+        out = attention_qkv(qkv, self.num_heads, scale=scale, impl=self.attn_impl)
         return nn.Dense(
             c,
             kernel_init=default_init,

@@ -1,1 +1,1 @@
-from .attention import multi_head_attention
+from .attention import attention_qkv, multi_head_attention

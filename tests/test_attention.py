@@ -33,3 +33,47 @@ def test_custom_scale(rng):
     out1 = multi_head_attention(q, q, q, impl="xla", scale=1.0)
     out2 = multi_head_attention(q, q, q, impl="xla", scale=0.1)
     assert not np.allclose(np.asarray(out1), np.asarray(out2))
+
+
+def test_attention_qkv_matches_transpose_path(rng):
+    """Packed-qkv dispatch == classic reshape/transpose path."""
+    from panopticdiffusionmodels_tpu.ops.attention import attention_qkv
+
+    b, l, heads, d = 2, 37, 4, 16
+    c = heads * d
+    qkv = jax.random.normal(rng, (b, l, 3 * c), jnp.float32)
+    out = attention_qkv(qkv, heads, impl="xla")
+    q, k, v = (
+        qkv.reshape(b, l, 3, heads, d).transpose(2, 0, 3, 1, 4)
+    )
+    ref = multi_head_attention(q, k, v, impl="xla")
+    ref = ref.transpose(0, 2, 1, 3).reshape(b, l, c)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+
+
+def test_fused_qkv_kernel_interpret_parity(rng):
+    """The Pallas packed-qkv kernel (interpret mode on CPU) == XLA path at the
+    flagship (L=258) and panoptic (L=590) sequence shapes."""
+    from panopticdiffusionmodels_tpu.ops.attention import attention_qkv
+    from panopticdiffusionmodels_tpu.ops.pallas.fused_qkv_attention import (
+        fused_attention_qkv,
+    )
+
+    for l, heads, d in [(258, 4, 32), (590, 2, 64), (65, 3, 8)]:
+        c = heads * d
+        k1 = jax.random.fold_in(rng, l)
+        qkv = jax.random.normal(k1, (2, l, 3 * c), jnp.float32)
+        ref = attention_qkv(qkv, heads, impl="xla")
+        out = fused_attention_qkv(qkv, heads, d ** -0.5, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-5, rtol=2e-5)
+
+
+def test_infer_impl_resolves_off_tpu(rng):
+    """impl='infer' must fall back to XLA on non-TPU backends."""
+    from panopticdiffusionmodels_tpu.ops.attention import attention_qkv
+
+    qkv = jax.random.normal(rng, (1, 9, 3 * 16), jnp.float32)
+    out = attention_qkv(qkv, 2, impl="infer")
+    ref = attention_qkv(qkv, 2, impl="xla")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
