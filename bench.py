@@ -76,6 +76,9 @@ def build_pipeline(batch_size: int):
         solver = DPMSolver(
             lambda xx, tt, mask_token=None: cfg_fn(xx, tt * schedule.N, y),
             ns, predict_x0=True,
+            # BENCH_ACCEL > 0 measures the opt-in forecast-skip mode; the
+            # headline protocol (default) keeps it off.
+            accel_tau=float(os.environ.get("BENCH_ACCEL", "0")),
         )
         z = jax.random.normal(key, (batch_size, 32, 32, 4))
         z0 = solver.sample(z, steps=50, eps=1.0 / 1000, T=1.0, order=3, method="fast")

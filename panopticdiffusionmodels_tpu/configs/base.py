@@ -113,7 +113,9 @@ def uvit_t2i(img_size, patch_size, embed_dim, depth, num_heads, in_chans=4,
 
 
 def sample_block(sample_steps, n_samples, mini_batch_size, algorithm="dpm_solver",
-                 cfg=False, scale=0.0, path=""):
+                 cfg=False, scale=0.0, path="", accel=0.0):
+    # accel: forecast-skip logSNR threshold for DPM-Solver (0.0 = off, the
+    # exact FID protocol; >0 trades NFE for throughput, quality-affecting).
     return d(
         sample_steps=sample_steps,
         n_samples=n_samples,
@@ -122,4 +124,5 @@ def sample_block(sample_steps, n_samples, mini_batch_size, algorithm="dpm_solver
         cfg=cfg,
         scale=scale,
         path=path,
+        accel=accel,
     )

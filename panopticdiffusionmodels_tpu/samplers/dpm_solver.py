@@ -160,6 +160,7 @@ class DPMSolver:
         thresholding: bool = False,
         max_val: float = 1.0,
         solver_type: str = "dpm_solver",
+        accel_tau: float = 0.0,
     ):
         assert solver_type in ("dpm_solver", "taylor")
         self.model = model_fn
@@ -168,12 +169,20 @@ class DPMSolver:
         self.thresholding = thresholding
         self.max_val = max_val
         self.solver_type = solver_type
+        # Forecast-skip acceleration (opt-in, quality-affecting): when the
+        # logSNR advance since the last REAL network eval is <= accel_tau,
+        # replace the eval with a linear extrapolation (in lambda) of the last
+        # two real outputs, carried through the scan (PAPERS.md: "Predict to
+        # Skip" linear multistep feature forecasting; the x0-parameterization
+        # is smooth in lambda, so the extrapolation IS the solver's own local
+        # model of the trajectory).  0.0 disables (the exact FID protocol).
+        self.accel_tau = float(accel_tau)
 
     # --- device-side pieces -------------------------------------------------
 
-    def _call_model(self, x, t: Any, sigma_t, alpha_t, mask_token):
-        """Call the network; in predict_x0 mode convert noise -> x0 using the
-        host-precomputed (sigma_t, alpha_t) for this model time."""
+    def _net(self, x, t: Any, sigma_t, alpha_t, mask_token):
+        """One real network eval; in predict_x0 mode convert noise -> x0 using
+        the host-precomputed (sigma_t, alpha_t) for this model time."""
         t_vec = jnp.full((x.shape[0],), t, dtype=x.dtype)
         if mask_token is None:
             out = self.model(x, t_vec)
@@ -197,9 +206,58 @@ class DPMSolver:
             x0 = jnp.clip(x0, -s, s) / (s / self.max_val)
         return x0, pred_mask
 
-    def _first_update(self, x, c, mask_t, mask_on: bool):
+    def init_forecast(self, x, mask_token):
+        """Initial forecast-cache carry (None when acceleration is off)."""
+        if not self.accel_tau:
+            return None
+        fc = {
+            "y1": jnp.zeros_like(x), "y2": jnp.zeros_like(x),
+            "lam1": jnp.zeros((), x.dtype), "lam2": jnp.zeros((), x.dtype),
+            "k": jnp.zeros((), jnp.int32),
+        }
+        if mask_token is not None:
+            fc["m1"] = jnp.zeros_like(mask_token)
+            fc["m2"] = jnp.zeros_like(mask_token)
+        return fc
+
+    def _call_model(self, x, t: Any, sigma_t, alpha_t, mask_token, fc=None):
+        """Network eval with optional forecast-skip.  Returns (out, pred_mask,
+        fc').  lambda at the eval point comes from the traced (sigma, alpha)
+        scalars, so no extra coefficient tables are needed."""
+        if fc is None:
+            out, pred_mask = self._net(x, t, sigma_t, alpha_t, mask_token)
+            return out, pred_mask, None
+
+        has_mask = mask_token is not None
+        lam = (jnp.log(_bcast(alpha_t, jnp.zeros(())))
+               - jnp.log(_bcast(sigma_t, jnp.zeros(())))).astype(x.dtype)
+
+        def real(_):
+            out, pm = self._net(x, t, sigma_t, alpha_t, mask_token)
+            new = {"y1": out, "y2": fc["y1"], "lam1": lam, "lam2": fc["lam1"],
+                   "k": fc["k"] + 1}
+            if has_mask:
+                new["m1"], new["m2"] = pm, fc["m1"]
+            return (out, pm, new) if has_mask else (out, new)
+
+        def skip(_):
+            w = (lam - fc["lam1"]) / (fc["lam1"] - fc["lam2"])
+            out = fc["y1"] + _bcast(w, x) * (fc["y1"] - fc["y2"])
+            if has_mask:
+                pm = fc["m1"] + _bcast(w, fc["m1"]) * (fc["m1"] - fc["m2"])
+                return out, pm, dict(fc)
+            return out, dict(fc)
+
+        use_skip = jnp.logical_and(fc["k"] >= 2, (lam - fc["lam1"]) <= self.accel_tau)
+        res = jax.lax.cond(use_skip, skip, real, operand=None)
+        if has_mask:
+            return res
+        out, new_fc = res
+        return out, None, new_fc
+
+    def _first_update(self, x, c, mask_t, mask_on: bool, fc=None):
         """Order-1 step (reference `dpm_solver_pp.py:420-494`)."""
-        noise_s, pred_mask = self._call_model(x, c["s"], c["sigma_s"], c["alpha_s"], mask_t)
+        noise_s, pred_mask, fc = self._call_model(x, c["s"], c["sigma_s"], c["alpha_s"], mask_t, fc)
         if self.predict_x0:
             # phi_1 here is (e^{-h}-1)/(-1) = -expm1(-h) in the reference (:441);
             # our precomputed phi_1 = expm1(-h), so negate.
@@ -219,11 +277,11 @@ class DPMSolver:
                 - _bcast(c["sigma_t"] * c["phi_1"], x) * noise_s
             )
             mask_next = mask_t
-        return x_t, pred_mask, mask_next
+        return x_t, pred_mask, mask_next, fc
 
-    def _second_update(self, x, c, mask_t, mask_on: bool):
+    def _second_update(self, x, c, mask_t, mask_on: bool, fc=None):
         """Order-2 step, 'dpm_solver' type (reference `dpm_solver_pp.py:496-599`)."""
-        noise_s, pred_mask = self._call_model(x, c["s"], c["sigma_s"], c["alpha_s"], mask_t)
+        noise_s, pred_mask, fc = self._call_model(x, c["s"], c["sigma_s"], c["alpha_s"], mask_t, fc)
         if self.predict_x0:
             x_s1 = (
                 _bcast(c["sigma_s1"] / c["sigma_s"], x) * x
@@ -238,8 +296,9 @@ class DPMSolver:
                 )
             else:
                 mask_s1 = mask_t
-            noise_s1, pred_mask_s1 = self._call_model(
-                x_s1, c["s1"], c["sigma_s1"], c["alpha_s1"], mask_s1 if mask_t is not None else None
+            noise_s1, pred_mask_s1, fc = self._call_model(
+                x_s1, c["s1"], c["sigma_s1"], c["alpha_s1"],
+                mask_s1 if mask_t is not None else None, fc,
             )
             if self.solver_type == "taylor":
                 # reference `dpm_solver_pp.py:559-564`
@@ -270,8 +329,8 @@ class DPMSolver:
                 _bcast(jnp.exp(c["log_alpha_s1"] - c["log_alpha_s"]), x) * x
                 - _bcast(c["sigma_s1"] * c["phi_11"], x) * noise_s
             )
-            noise_s1, _ = self._call_model(
-                x_s1, c["s1"], c["sigma_s1"], c["alpha_s1"], mask_t
+            noise_s1, _, fc = self._call_model(
+                x_s1, c["s1"], c["sigma_s1"], c["alpha_s1"], mask_t, fc
             )
             if self.solver_type == "taylor":
                 # reference `dpm_solver_pp.py:584-589`
@@ -289,11 +348,11 @@ class DPMSolver:
                     * (noise_s1 - noise_s)
                 )
             mask_next = mask_t
-        return x_t, pred_mask, mask_next
+        return x_t, pred_mask, mask_next, fc
 
-    def _third_update(self, x, c, mask_t, mask_on: bool):
+    def _third_update(self, x, c, mask_t, mask_on: bool, fc=None):
         """Order-3 step, 'dpm_solver' type (reference `dpm_solver_pp.py:679-829`)."""
-        noise_s, pred_mask = self._call_model(x, c["s"], c["sigma_s"], c["alpha_s"], mask_t)
+        noise_s, pred_mask, fc = self._call_model(x, c["s"], c["sigma_s"], c["alpha_s"], mask_t, fc)
         if self.predict_x0:
             x_s1 = (
                 _bcast(c["sigma_s1"] / c["sigma_s"], x) * x
@@ -307,8 +366,9 @@ class DPMSolver:
                 )
             else:
                 mask_s1 = mask_t
-            noise_s1, pred_mask_s1 = self._call_model(
-                x_s1, c["s1"], c["sigma_s1"], c["alpha_s1"], mask_s1 if mask_t is not None else None
+            noise_s1, pred_mask_s1, fc = self._call_model(
+                x_s1, c["s1"], c["sigma_s1"], c["alpha_s1"],
+                mask_s1 if mask_t is not None else None, fc,
             )
             x_s2 = (
                 _bcast(c["sigma_s2"] / c["sigma_s"], x) * x
@@ -325,8 +385,9 @@ class DPMSolver:
                 )
             else:
                 mask_s2 = mask_t
-            noise_s2, pred_mask_s2 = self._call_model(
-                x_s2, c["s2"], c["sigma_s2"], c["alpha_s2"], mask_s2 if mask_t is not None else None
+            noise_s2, pred_mask_s2, fc = self._call_model(
+                x_s2, c["s2"], c["sigma_s2"], c["alpha_s2"],
+                mask_s2 if mask_t is not None else None, fc,
             )
             if self.solver_type == "taylor":
                 # reference `dpm_solver_pp.py:767-777`
@@ -362,14 +423,14 @@ class DPMSolver:
                 _bcast(jnp.exp(c["log_alpha_s1"] - c["log_alpha_s"]), x) * x
                 - _bcast(c["sigma_s1"] * c["phi_11"], x) * noise_s
             )
-            noise_s1, _ = self._call_model(x_s1, c["s1"], c["sigma_s1"], c["alpha_s1"], mask_t)
+            noise_s1, _, fc = self._call_model(x_s1, c["s1"], c["sigma_s1"], c["alpha_s1"], mask_t, fc)
             x_s2 = (
                 _bcast(jnp.exp(c["log_alpha_s2"] - c["log_alpha_s"]), x) * x
                 - _bcast(c["sigma_s2"] * c["phi_12"], x) * noise_s
                 - _bcast((c["r2"] / c["r1"]) * c["sigma_s2"] * c["phi_22"], x)
                 * (noise_s1 - noise_s)
             )
-            noise_s2, _ = self._call_model(x_s2, c["s2"], c["sigma_s2"], c["alpha_s2"], mask_t)
+            noise_s2, _, fc = self._call_model(x_s2, c["s2"], c["sigma_s2"], c["alpha_s2"], mask_t, fc)
             if self.solver_type == "taylor":
                 # reference `dpm_solver_pp.py:809-819`
                 d1_0 = _bcast(1.0 / c["r1"], x) * (noise_s1 - noise_s)
@@ -391,7 +452,7 @@ class DPMSolver:
                     * (noise_s2 - noise_s)
                 )
             mask_next = mask_t
-        return x_t, pred_mask, mask_next
+        return x_t, pred_mask, mask_next, fc
 
     _UPDATES = {1: "_first_update", 2: "_second_update", 3: "_third_update"}
 
@@ -500,12 +561,13 @@ class DPMSolver:
 
         pred_mask = mask_token
         mask_t = mask_token
+        fc = self.init_forecast(x, mask_token)
         for group_order, coeffs, n in groups:
             update = getattr(self, self._UPDATES[group_order])
 
             if n == 1:
                 c = {k: v[0] for k, v in coeffs.items()}
-                x, pm, mask_t = update(x, c, mask_t, mask_on)
+                x, pm, mask_t, fc = update(x, c, mask_t, mask_on, fc)
                 if mask_on:
                     pred_mask = pm
                 elif mask_fixed:
@@ -513,17 +575,17 @@ class DPMSolver:
                     mask_t = pm
             else:
                 def body(carry, c, _update=update):
-                    x, pred_mask, mask_t = carry
-                    x, pm, mask_t = _update(x, c, mask_t, mask_on)
+                    x, pred_mask, mask_t, fc = carry
+                    x, pm, mask_t, fc = _update(x, c, mask_t, mask_on, fc)
                     if mask_on:
                         pred_mask = pm
                     elif mask_fixed:
                         pred_mask = pm
                         mask_t = pm
-                    return (x, pred_mask, mask_t), None
+                    return (x, pred_mask, mask_t, fc), None
 
-                (x, pred_mask, mask_t), _ = jax.lax.scan(
-                    body, (x, pred_mask, mask_t), coeffs
+                (x, pred_mask, mask_t, fc), _ = jax.lax.scan(
+                    body, (x, pred_mask, mask_t, fc), coeffs
                 )
 
         if denoise:
@@ -550,7 +612,7 @@ class DPMSolver:
         alpha = np.exp(log_a)
 
         def call(x, i):
-            noise, _ = self._call_model(x, float(ts[i]), float(sig[i]), float(alpha[i]), None)
+            noise, _, _ = self._call_model(x, float(ts[i]), float(sig[i]), float(alpha[i]), None)
             return noise
 
         # Warm-up with increasing orders, then fixed-order updates; the plan is
@@ -677,5 +739,5 @@ class DPMSolver:
         c = _step_coeffs(self.ns, float(s), float(t), order, r1, r2, self.predict_x0).data
         c = {k: jnp.float32(v) for k, v in c.items()}
         update = getattr(self, self._UPDATES[order])
-        x_t, _, _ = update(x, c, None, False)
+        x_t, _, _, _ = update(x, c, None, False)
         return x_t

@@ -420,6 +420,7 @@ class Trainer:
                 solver = DPMSolver(
                     lambda xx, tt, mask_token=None: cfg_fn(xx, tt * N, y),
                     self.noise_schedule, predict_x0=True,
+                    accel_tau=config.sample.get("accel", 0.0),
                 )
                 z = solver.sample(z_init, steps=steps, eps=1.0 / N, T=1.0, order=3,
                                   method="fast")
@@ -475,6 +476,7 @@ class Trainer:
                 lambda xx, tt, mask_token=None: cfg_fn(xx, tt * N, context,
                                                        mask_token=mask_token),
                 self.noise_schedule, predict_x0=True,
+                accel_tau=config.sample.get("accel", 0.0),
             )
             if panoptic_on:
                 if use_gt:

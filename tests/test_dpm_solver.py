@@ -192,3 +192,77 @@ def test_denoise_final_projection(rng):
     x0 = solver.sample(x_T, steps=6, eps=1e-3, order=1, method="singlestep", denoise=True)
     # final denoise projects exactly to the delta point
     np.testing.assert_allclose(np.asarray(x0), 0.25, atol=5e-3)
+
+
+# --- forecast-skip acceleration (config.sample.accel) ------------------------
+
+def _counting_model(c, ns, counter):
+    """Delta-model wrapper that counts REAL network executions at runtime via
+    io_callback (only the taken lax.cond branch executes it)."""
+    base = _delta_model(c, ns)
+
+    def model(x, t_vec, mask_token=None):
+        def bump(_):
+            counter["n"] += 1
+            return np.int32(0)
+
+        jax.experimental.io_callback(bump, jax.ShapeDtypeStruct((), jnp.int32),
+                                     jnp.zeros(()))
+        return base(x, t_vec, mask_token=mask_token)
+
+    return model
+
+
+def test_accel_skips_evals_and_stays_close(rng):
+    """accel_tau > 0 must (a) actually skip network evals at runtime and
+    (b) keep the trajectory close to the exact one.  The delta model's x0 is
+    CONSTANT, so linear extrapolation is exact and the result must match to
+    solver tolerance."""
+    ns = _ns()
+    x_T = jax.random.normal(rng, (2, 4, 4, 4))
+
+    exact_counter = {"n": 0}
+    exact = DPMSolver(_counting_model(0.3, ns, exact_counter), ns, predict_x0=True)
+    x_exact = jax.jit(lambda x: exact.sample(x, steps=30, eps=1e-3, order=3,
+                                             method="fast"))(x_T)
+    n_exact = exact_counter["n"]
+
+    accel_counter = {"n": 0}
+    accel = DPMSolver(_counting_model(0.3, ns, accel_counter), ns,
+                      predict_x0=True, accel_tau=0.3)
+    x_accel = jax.jit(lambda x: accel.sample(x, steps=30, eps=1e-3, order=3,
+                                             method="fast"))(x_T)
+    n_accel = accel_counter["n"]
+
+    assert n_exact == 30, n_exact
+    assert n_accel < 0.7 * n_exact, (n_accel, n_exact)
+    np.testing.assert_allclose(np.asarray(x_accel), np.asarray(x_exact),
+                               atol=1e-3, rtol=1e-3)
+
+
+def test_accel_panoptic_mask_carries(rng):
+    """Forecast cache must thread the mask channel too."""
+    ns = _ns()
+    model = _delta_model(0.1, ns)
+    solver = DPMSolver(model, ns, predict_x0=True, accel_tau=0.3)
+    k1, k2 = jax.random.split(rng)
+    x_T = jax.random.normal(k1, (2, 4, 4, 4))
+    m_T = jax.random.normal(k2, (2, 8, 8, 8))
+    x, pm = jax.jit(lambda x, m: solver.sample(
+        x, steps=21, eps=1e-3, order=3, method="fast", mask_token=m,
+        update_mask=True))(x_T, m_T)
+    assert np.isfinite(np.asarray(x)).all()
+    # the model's mask x0 is constant 0.5; the integrated mask converges there
+    np.testing.assert_allclose(np.asarray(pm), 0.5, atol=1e-2)
+
+
+def test_accel_zero_is_exact_protocol(rng):
+    """accel_tau=0.0 must be byte-identical to the plain solver."""
+    ns = _ns()
+    model = _delta_model(0.2, ns)
+    x_T = jax.random.normal(rng, (1, 4, 4, 4))
+    a = DPMSolver(model, ns, predict_x0=True).sample(
+        x_T, steps=12, eps=1e-3, order=3, method="fast")
+    b = DPMSolver(model, ns, predict_x0=True, accel_tau=0.0).sample(
+        x_T, steps=12, eps=1e-3, order=3, method="fast")
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

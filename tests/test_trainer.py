@@ -17,8 +17,12 @@ def tiny_trainer(tmp_path_factory):
 
 def test_infer_task():
     assert infer_task(get_config("cifar10_uvit_small")) == "pixel_sde"
-    assert infer_task(get_config("imagenet256_uvit_large")) == "latent_discrete"
     assert infer_task(get_config("mscoco_uvit_small")) == "t2i_discrete"
+    # every zoo config declares its task explicitly; latent inference is refused
+    assert get_config("imagenet256_uvit_large").task == "latent_discrete"
+    import pytest
+    with pytest.raises(ValueError, match="ambiguous latent config"):
+        infer_task(get_config("imagenet256_uvit_large"))
 
 
 def test_fit_smoke(tiny_trainer):
