@@ -36,16 +36,23 @@ MAX_FULL_SEQ = 1024
 def _kernel(qkv_ref, o_ref, *, heads: int, c: int, scale: float):
     d = c // heads
     for h in range(heads):
-        q = qkv_ref[0, :, h * d:(h + 1) * d].astype(jnp.float32)
-        k = qkv_ref[0, :, c + h * d:c + (h + 1) * d].astype(jnp.float32)
-        v = qkv_ref[0, :, 2 * c + h * d:2 * c + (h + 1) * d].astype(jnp.float32)
+        # Feed the MXU native bf16 inputs with f32 ACCUMULATION — upcasting the
+        # operands to f32 first would drop the matmuls to f32 MXU throughput
+        # (4x slower).  Softmax stays in f32 for stability; the probabilities
+        # go back to the input dtype for the PV matmul.
+        q = qkv_ref[0, :, h * d:(h + 1) * d]
+        k = qkv_ref[0, :, c + h * d:c + (h + 1) * d]
+        v = qkv_ref[0, :, 2 * c + h * d:2 * c + (h + 1) * d]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * scale
         m = jnp.max(s, axis=-1, keepdims=True)
         p = jnp.exp(s - m)
         p = p / jnp.sum(p, axis=-1, keepdims=True)
-        o = jnp.dot(p, v, preferred_element_type=jnp.float32)
+        o = jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
         o_ref[0, :, h * d:(h + 1) * d] = o.astype(o_ref.dtype)
 
 
