@@ -107,3 +107,18 @@ def test_sample2dir_contract(tmp_path):
     assert len(os.listdir(mask_dir)) == 8
     assert "eval_loss_mask" in metrics and metrics["eval_loss_mask"] == 0.5
     assert "eval_cnt_mask_diff" in metrics
+
+
+def test_frechet_distance_singular_covariance_no_nan():
+    """Rank-deficient covariances must trigger the eps-offset retry
+    (reference tools/fid_score.py:60-67) and return a finite distance."""
+    from panopticdiffusionmodels_tpu.evaluation.fid import frechet_distance
+
+    rng = np.random.default_rng(0)
+    a = rng.normal(size=(8, 16))  # 8 samples in 16-d -> singular covariance
+    b = rng.normal(size=(8, 16)) + 1.0
+    mu1, s1 = a.mean(0), np.cov(a, rowvar=False)
+    mu2, s2 = b.mean(0), np.cov(b, rowvar=False)
+    d = frechet_distance(mu1, s1, mu2, s2)
+    assert np.isfinite(d) and d > 0
+    assert frechet_distance(mu1, s1, mu1, s1) < 1e-6
