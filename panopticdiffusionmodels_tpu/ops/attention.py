@@ -10,6 +10,7 @@ Softmax is computed in float32 regardless of the input dtype (bf16-safe).
 """
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
 import jax
@@ -51,28 +52,63 @@ def multi_head_attention(q, k, v, *, scale: Optional[float] = None, impl: str = 
     raise ValueError(f"unknown attention impl: {impl}")
 
 
+def _xla_attention_qkv(qkv, heads: int, scale: float):
+    """XLA path: classic reshape/transpose; XLA fuses these into neighbors."""
+    b, l, c3 = qkv.shape
+    c = c3 // 3
+    t = qkv.reshape(b, l, 3, heads, c // heads).transpose(2, 0, 3, 1, 4)
+    out = _xla_attention(t[0], t[1], t[2], scale)
+    return out.transpose(0, 2, 1, 3).reshape(b, l, c)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+def _qkv_attn_trainable(qkv, heads: int, scale: float, interpret: bool = False):
+    """Pallas forward + XLA-recompute backward.  pallas_call has no reverse
+    rule; recomputing the softmax in XLA for the VJP measured +3.7% on the
+    panoptic train step vs the pure-XLA path (same-process A/B, v5e) — the
+    packed-qkv boundary is what makes this a win (the round-1 (B,H,L,D)
+    kernel LOST the same comparison)."""
+    from .pallas.fused_qkv_attention import fused_attention_qkv
+
+    return fused_attention_qkv(qkv, heads, scale, interpret=interpret)
+
+
+def _qkv_attn_fwd(qkv, heads, scale, interpret):
+    from .pallas.fused_qkv_attention import fused_attention_qkv
+
+    return fused_attention_qkv(qkv, heads, scale, interpret=interpret), qkv
+
+
+def _qkv_attn_bwd(heads, scale, interpret, qkv, g):
+    _, vjp = jax.vjp(lambda q: _xla_attention_qkv(q, heads, scale), qkv)
+    return (vjp(g)[0],)
+
+
+_qkv_attn_trainable.defvjp(_qkv_attn_fwd, _qkv_attn_bwd)
+
+
 def attention_qkv(qkv, heads: int, *, scale: Optional[float] = None,
                   impl: str = "auto"):
     """Attention from the qkv projection's packed (B, L, 3C) output; returns
     (B, L, C) with heads concatenated (the output projection's input layout).
 
-    impl: 'infer' uses the fused Pallas kernel on TPU (inference hot path —
-    no transposes at the kernel boundary, projections stay fusible in XLA);
-    'auto'/'xla' use the XLA path (training, CPU meshes); 'pallas' forces the
-    kernel (TPU only).
+    impl:
+      'auto'   — on TPU: Pallas forward + XLA-recompute VJP (differentiable,
+                 the training default); elsewhere: XLA.
+      'infer'  — on TPU: the Pallas kernel, forward only; elsewhere: XLA.
+      'xla'    — force the XLA path.
+      'pallas' — force the kernel (TPU only).
     """
-    b, l, c3 = qkv.shape
-    c = c3 // 3
-    d = c // heads
+    d = qkv.shape[-1] // 3 // heads
     if scale is None:
         scale = d ** -0.5
+    on_tpu = jax.default_backend() == "tpu"
+    if impl == "auto" and on_tpu:
+        return _qkv_attn_trainable(qkv, heads, scale, False)
     if impl == "infer":
-        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+        impl = "pallas" if on_tpu else "xla"
     if impl == "pallas":
         from .pallas.fused_qkv_attention import fused_attention_qkv
 
         return fused_attention_qkv(qkv, heads, scale)
-    # XLA path: classic reshape/transpose; XLA fuses these into neighbors.
-    qkv = qkv.reshape(b, l, 3, heads, d).transpose(2, 0, 3, 1, 4)
-    out = _xla_attention(qkv[0], qkv[1], qkv[2], scale)
-    return out.transpose(0, 2, 1, 3).reshape(b, l, c)
+    return _xla_attention_qkv(qkv, heads, scale)

@@ -77,3 +77,27 @@ def test_infer_impl_resolves_off_tpu(rng):
     out = attention_qkv(qkv, 2, impl="infer")
     ref = attention_qkv(qkv, 2, impl="xla")
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+
+
+def test_trainable_qkv_kernel_grad_matches_xla(rng):
+    """The Pallas-forward/XLA-recompute custom VJP must produce the same
+    gradient as differentiating the XLA path (interpret mode on CPU)."""
+    from panopticdiffusionmodels_tpu.ops.attention import (
+        _qkv_attn_trainable,
+        _xla_attention_qkv,
+    )
+
+    heads, d = 3, 8
+    qkv = jax.random.normal(rng, (2, 33, 3 * heads * d), jnp.float32)
+    scale = d ** -0.5
+
+    def loss_pallas(q):
+        return jnp.sum(jnp.sin(_qkv_attn_trainable(q, heads, scale, True)))
+
+    def loss_xla(q):
+        return jnp.sum(jnp.sin(_xla_attention_qkv(q, heads, scale)))
+
+    g_p = jax.grad(loss_pallas)(qkv)
+    g_x = jax.grad(loss_xla)(qkv)
+    np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_x),
+                               atol=2e-5, rtol=2e-5)
