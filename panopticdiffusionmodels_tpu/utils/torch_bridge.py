@@ -303,3 +303,175 @@ def convert_autoencoder_kl(
             "post_quant_conv": _conv2d(sd, "post_quant_conv"),
         }
     }
+
+
+# ---------------------------------------------------------------------------
+# flax parameter pytree -> PyTorch checkpoint (the EXPORT direction)
+# ---------------------------------------------------------------------------
+
+def _unstack_trees(tree):
+    """Inverse of `_stack_trees`: split the leading 'layers' axis back into a
+    list of per-layer trees."""
+    import jax
+
+    n = jax.tree.leaves(tree)[0].shape[0]
+    return [jax.tree.map(lambda x: np.asarray(x)[i], tree) for i in range(n)]
+
+
+def _inv_linear(tree, prefix, out):
+    out[f"{prefix}.weight"] = np.ascontiguousarray(np.asarray(tree["kernel"]).T)
+    if "bias" in tree:
+        out[f"{prefix}.bias"] = np.asarray(tree["bias"])
+
+
+def _inv_conv2d(tree, prefix, out):
+    out[f"{prefix}.weight"] = np.ascontiguousarray(
+        np.asarray(tree["kernel"]).transpose(3, 2, 0, 1)
+    )
+    out[f"{prefix}.bias"] = np.asarray(tree["bias"])
+
+
+def _inv_conv1d_from_dense(tree, prefix, out):
+    w = np.asarray(tree["kernel"])  # (I, O)
+    out[f"{prefix}.weight"] = np.ascontiguousarray(w.T)[:, :, None]
+    out[f"{prefix}.bias"] = np.asarray(tree["bias"])
+
+
+def _inv_patch_embed(tree, prefix, out, patch_size: int):
+    k = np.asarray(tree["proj"]["kernel"])  # (p*p*C, D)
+    d = k.shape[1]
+    p = patch_size
+    c = k.shape[0] // (p * p)
+    w = k.reshape(p, p, c, d).transpose(3, 2, 0, 1)  # (D, C, p, p)
+    out[f"{prefix}.weight"] = np.ascontiguousarray(w)
+    out[f"{prefix}.bias"] = np.asarray(tree["proj"]["bias"])
+
+
+def _inv_norm(tree, prefix, out):
+    out[f"{prefix}.weight"] = np.asarray(tree["scale"])
+    out[f"{prefix}.bias"] = np.asarray(tree["bias"])
+
+
+def _inv_block(tree, prefix, out):
+    _inv_norm(tree["norm1"], f"{prefix}.norm1", out)
+    _inv_linear(tree["attn"]["qkv"], f"{prefix}.attn.qkv", out)
+    _inv_linear(tree["attn"]["proj"], f"{prefix}.attn.proj", out)
+    _inv_norm(tree["norm2"], f"{prefix}.norm2", out)
+    _inv_linear(tree["mlp"]["fc1"], f"{prefix}.mlp.fc1", out)
+    _inv_linear(tree["mlp"]["fc2"], f"{prefix}.mlp.fc2", out)
+    if "skip_linear" in tree:
+        _inv_linear(tree["skip_linear"], f"{prefix}.skip_linear", out)
+
+
+def export_uvit(params: Mapping, *, patch_size: int) -> Dict[str, np.ndarray]:
+    """flax UViT params -> reference-format torch state dict
+    (inverse of `convert_uvit`; reference `libs/uvit.py` key names).  Both the
+    scanned (stacked) and unrolled param layouts are accepted."""
+    p = params["params"] if "params" in params else params
+    out: Dict[str, np.ndarray] = {}
+    _inv_patch_embed(p["patch_embed"], "patch_embed.proj", out, patch_size)
+    if "time_embed" in p:
+        _inv_linear(p["time_embed"]["fc1"], "time_embed.0", out)
+        _inv_linear(p["time_embed"]["fc2"], "time_embed.2", out)
+    if "label_emb" in p:
+        out["label_emb.weight"] = np.asarray(p["label_emb"]["embedding"])
+    out["pos_embed"] = np.asarray(p["pos_embed"])
+    if "in_blocks" in p:  # scan layout
+        ins = _unstack_trees(p["in_blocks"]["block"])
+        outs = _unstack_trees(p["out_blocks"]["block"])
+    else:
+        n = len([k for k in p if k.startswith("in_blocks_")])
+        ins = [p[f"in_blocks_{i}"] for i in range(n)]
+        outs = [p[f"out_blocks_{i}"] for i in range(n)]
+    for i, t in enumerate(ins):
+        _inv_block(t, f"in_blocks.{i}", out)
+    _inv_block(p["mid_block"], "mid_block", out)
+    for i, t in enumerate(outs):
+        _inv_block(t, f"out_blocks.{i}", out)
+    _inv_norm(p["norm"], "norm", out)
+    _inv_linear(p["decoder_pred"], "decoder_pred", out)
+    if "final_layer" in p:
+        _inv_conv2d(p["final_layer"]["conv"], "final_layer", out)
+    return out
+
+
+def export_uvit_t2i(params: Mapping, *, patch_size: int,
+                    mask_patch_size: int = None) -> Dict[str, np.ndarray]:
+    """flax UViT-T2I/panoptic params -> reference-format torch state dict
+    (inverse of `convert_uvit_t2i`; reference `libs/uvit_t2i.py` key names,
+    including the odd-index zero_convs.{2i+1} allocation)."""
+    p = params["params"] if "params" in params else params
+    out: Dict[str, np.ndarray] = {}
+    _inv_patch_embed(p["patch_embed"], "patch_embed.proj", out, patch_size)
+    if "time_embed" in p:
+        _inv_linear(p["time_embed"]["fc1"], "time_embed.0", out)
+        _inv_linear(p["time_embed"]["fc2"], "time_embed.2", out)
+    _inv_linear(p["context_embed"], "context_embed", out)
+    out["pos_embed"] = np.asarray(p["pos_embed"])
+    _inv_norm(p["norm"], "norm", out)
+    _inv_linear(p["decoder_pred"], "decoder_pred", out)
+    if "final_layer" in p:
+        _inv_conv2d(p["final_layer"]["conv"], "final_layer", out)
+
+    dual = "in_blocks_dual" in p or "in_blocks_mask_0" in p
+    if "in_blocks_dual" in p:  # dual scan layout
+        ind = p["in_blocks_dual"]
+        outd = p["out_blocks_dual"]
+        ins = _unstack_trees(ind["block"])
+        outs = _unstack_trees(outd["block"])
+        ins_m = _unstack_trees(ind["block_mask"])
+        outs_m = _unstack_trees(outd["block_mask"])
+        zin = _unstack_trees(ind["zero_conv"])
+        zout = _unstack_trees(outd["zero_conv"])
+    elif "in_blocks" in p:  # plain scan layout
+        ins = _unstack_trees(p["in_blocks"]["block"])
+        outs = _unstack_trees(p["out_blocks"]["block"])
+        ins_m = outs_m = zin = zout = []
+    else:
+        n = len([k for k in p if k.startswith("in_blocks_") and "mask" not in k])
+        ins = [p[f"in_blocks_{i}"] for i in range(n)]
+        outs = [p[f"out_blocks_{i}"] for i in range(n)]
+        if dual:
+            ins_m = [p[f"in_blocks_mask_{i}"] for i in range(n)]
+            outs_m = [p[f"out_blocks_mask_{i}"] for i in range(n)]
+            zin = [p[f"zero_convs_in_{i}"] for i in range(n)]
+            zout = [p[f"zero_convs_out_{i}"] for i in range(n)]
+        else:
+            ins_m = outs_m = zin = zout = []
+    half = len(ins)
+    for i, t in enumerate(ins):
+        _inv_block(t, f"in_blocks.{i}", out)
+    _inv_block(p["mid_block"], "mid_block", out)
+    for i, t in enumerate(outs):
+        _inv_block(t, f"out_blocks.{i}", out)
+
+    if "mask_embed" in p:
+        mp = mask_patch_size or patch_size
+        _inv_patch_embed(p["mask_embed"], "mask_embed.proj", out, mp)
+        _inv_linear(p["decoder_pred_mask"], "decoder_pred_mask", out)
+        if "final_layer_mask" in p:
+            _inv_conv2d(p["final_layer_mask"]["conv"], "final_layer_mask", out)
+        if "pos_embed_mask" in p:
+            out["pos_embed_mask"] = np.asarray(p["pos_embed_mask"])
+        if "mid_block_mask" in p:
+            _inv_block(p["mid_block_mask"], "mid_block_mask", out)
+            _inv_conv1d_from_dense(
+                p["zero_convs_mid"]["conv"], f"zero_convs.{2 * half + 1}.conv", out
+            )
+        for i, t in enumerate(ins_m):
+            _inv_block(t, f"in_blocks_mask.{i}", out)
+        for i, t in enumerate(outs_m):
+            _inv_block(t, f"out_blocks_mask.{i}", out)
+        for i, t in enumerate(zin):
+            _inv_conv1d_from_dense(t["conv"], f"zero_convs.{2 * i + 1}.conv", out)
+        for i, t in enumerate(zout):
+            li = half + 1 + i
+            _inv_conv1d_from_dense(t["conv"], f"zero_convs.{2 * li + 1}.conv", out)
+    return out
+
+
+def save_torch_state_dict(sd: Mapping[str, np.ndarray], path: str) -> None:
+    """Write an exported state dict as a torch .pth loadable by the reference."""
+    import torch
+
+    torch.save({k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd.items()}, path)
