@@ -67,6 +67,12 @@ def build_pipeline(batch_size: int):
     schedule = Schedule(betas)
     ns = NoiseScheduleVP("discrete", betas=betas)
 
+    # Opt-in speed modes (the headline protocol keeps both off):
+    #   BENCH_ACCEL=<tau>            forecast-skip threshold
+    #   BENCH_CFG_INTERVAL=lo,hi     guidance interval in t (arXiv:2404.07724)
+    ci_env = os.environ.get("BENCH_CFG_INTERVAL", "")
+    cfg_interval = tuple(float(v) for v in ci_env.split(",")) if ci_env else None
+
     @jax.jit
     def pipeline(params, vae_params, key, y):
         cfg_fn = make_cfg_class_cond(
@@ -74,11 +80,11 @@ def build_pipeline(batch_size: int):
             null_label=1000, scale=0.4, enabled=True,
         )
         solver = DPMSolver(
-            lambda xx, tt, mask_token=None: cfg_fn(xx, tt * schedule.N, y),
+            lambda xx, tt, mask_token=None, cfg_on=True: cfg_fn(
+                xx, tt * schedule.N, y, cfg_on=cfg_on),
             ns, predict_x0=True,
-            # BENCH_ACCEL > 0 measures the opt-in forecast-skip mode; the
-            # headline protocol (default) keeps it off.
             accel_tau=float(os.environ.get("BENCH_ACCEL", "0")),
+            cfg_interval=cfg_interval,
         )
         z = jax.random.normal(key, (batch_size, 32, 32, 4))
         z0 = solver.sample(z, steps=50, eps=1.0 / 1000, T=1.0, order=3, method="fast")

@@ -64,9 +64,13 @@ def autoencoder_block(pretrained_path="assets/stable-diffusion/autoencoder_kl.pt
 
 def uvit(img_size, patch_size, embed_dim, depth, num_heads, in_chans=3,
          num_classes=-1, mlp_ratio=4, qkv_bias=False, mlp_time_embed=False,
-         use_checkpoint=False, conv=True, scan_blocks=False):
+         use_checkpoint=False, conv=True, scan_blocks=False, remat_policy=""):
+    # remat_policy: checkpoint policy when use_checkpoint=True ("" = recompute
+    # everything; "dots_no_batch" keeps MXU outputs — see
+    # models/scan_stack.resolve_remat_policy).
     return d(
         name="uvit",
+        remat_policy=remat_policy,
         img_size=img_size,
         patch_size=patch_size,
         in_chans=in_chans,
@@ -87,9 +91,10 @@ def uvit_t2i(img_size, patch_size, embed_dim, depth, num_heads, in_chans=4,
              mlp_ratio=4, qkv_bias=False, mlp_time_embed=False, clip_dim=768,
              num_clip_token=77, enable_panoptic=True, separate=True,
              use_ground_truth=False, mask_bits=8, mask_size=None,
-             use_checkpoint=False, conv=True, scan_blocks=False):
+             use_checkpoint=False, conv=True, scan_blocks=False, remat_policy=""):
     return d(
         name="uvit_t2i",
+        remat_policy=remat_policy,
         img_size=img_size,
         patch_size=patch_size,
         in_chans=in_chans,
@@ -113,9 +118,13 @@ def uvit_t2i(img_size, patch_size, embed_dim, depth, num_heads, in_chans=4,
 
 
 def sample_block(sample_steps, n_samples, mini_batch_size, algorithm="dpm_solver",
-                 cfg=False, scale=0.0, path="", accel=0.0):
+                 cfg=False, scale=0.0, path="", accel=0.0, cfg_interval=()):
     # accel: forecast-skip logSNR threshold for DPM-Solver (0.0 = off, the
     # exact FID protocol; >0 trades NFE for throughput, quality-affecting).
+    # cfg_interval: (lo, hi) in continuous model time (0, 1] — guidance is
+    # applied only for solver steps starting inside the interval
+    # (arXiv:2404.07724); steps outside run one cond-only forward (half the
+    # FLOPs).  () = guidance at every step (the exact reference protocol).
     return d(
         sample_steps=sample_steps,
         n_samples=n_samples,
@@ -125,4 +134,5 @@ def sample_block(sample_steps, n_samples, mini_batch_size, algorithm="dpm_solver
         scale=scale,
         path=path,
         accel=accel,
+        cfg_interval=tuple(cfg_interval),
     )

@@ -5,6 +5,14 @@ uncond, reference `train_t2i_discrete.py:387-439`); here both are batched into
 ONE forward on a 2x batch — better MXU utilization, identical math.  The mask
 prediction is extrapolated exactly like the reference
 (`pred_mask + scale * (pred_mask - pred_mask_u)`, `train_t2i_discrete.py:429`).
+
+Both wrappers additionally accept a STATIC `cfg_on` keyword per call: when
+False the uncond half is skipped entirely (one cond-only forward, half the
+FLOPs).  The solver uses this to restrict guidance to a noise-level interval
+(`DPMSolver(cfg_interval=...)` — "Applying Guidance in a Limited Interval
+Improves Sample and Distribution Quality in Diffusion Models",
+arXiv:2404.07724), which both reduces work and, per that paper, improves FID.
+`cfg_on` must be a Python bool (it selects between two traced programs).
 """
 from __future__ import annotations
 
@@ -26,8 +34,8 @@ def make_cfg_t2i(
     """
     empty_context = jnp.asarray(empty_context)
 
-    def cfg_fn(x, t, context, mask_token=None):
-        if not enabled or scale == 0.0:
+    def cfg_fn(x, t, context, mask_token=None, cfg_on: bool = True):
+        if not enabled or scale == 0.0 or not cfg_on:
             return apply_fn(x, t, context, mask_token=mask_token)
         b = x.shape[0]
         ctx_u = jnp.broadcast_to(empty_context, (b, *empty_context.shape[-2:]))
@@ -56,8 +64,8 @@ def make_cfg_class_cond(
     """CFG for class-conditional models: label K is the null class
     (reference `eval.py:43-46`, `eval_ldm_discrete.py` analogue)."""
 
-    def cfg_fn(x, t, y):
-        if not enabled or scale == 0.0:
+    def cfg_fn(x, t, y, cfg_on: bool = True):
+        if not enabled or scale == 0.0 or not cfg_on:
             return apply_fn(x, t, y)
         b = x.shape[0]
         y_u = jnp.full((b,), null_label, dtype=y.dtype)

@@ -26,9 +26,32 @@ from .layers import Block
 Dtype = Any
 
 
-def _scanned(body_cls, length: int, remat: bool, name: str, **body_kwargs):
+def resolve_remat_policy(name: Optional[str]):
+    """Map a config string to a jax.checkpoint policy.  None/'' = the nn.remat
+    default (recompute everything).  'dots_no_batch' saves MXU (matmul) outputs
+    and recomputes only the cheap VPU elementwise work in the backward pass —
+    usually the best time/memory trade for transformer blocks on TPU."""
+    if not name:
+        return None
+    import jax
+
+    policies = {
+        "dots": jax.checkpoint_policies.checkpoint_dots,
+        "dots_no_batch": jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+        "nothing": jax.checkpoint_policies.nothing_saveable,
+        "everything": jax.checkpoint_policies.everything_saveable,
+    }
+    if name not in policies:
+        raise ValueError(f"unknown remat_policy {name!r}; one of {sorted(policies)}")
+    return policies[name]
+
+
+def _scanned(body_cls, length: int, remat: bool, name: str,
+             remat_policy: Optional[str] = None, **body_kwargs):
     if remat:
-        body_cls = nn.remat(body_cls, prevent_cse=False)
+        body_cls = nn.remat(
+            body_cls, prevent_cse=False, policy=resolve_remat_policy(remat_policy)
+        )
     scan_cls = nn.scan(
         body_cls,
         variable_axes={"params": 0},
@@ -64,16 +87,19 @@ class _BlockBody(nn.Module):
         return x, (x if self.emit_skip else None)
 
 
-def in_stack(x, *, length, remat=False, name="in_blocks", **cfg):
+def in_stack(x, *, length, remat=False, remat_policy=None, name="in_blocks", **cfg):
     """x -> (x, skips) with skips stacked (length, B, L, D)."""
-    stack = _scanned(_BlockBody, length, remat, name, emit_skip=True, skip=False, **cfg)
+    stack = _scanned(_BlockBody, length, remat, name, remat_policy,
+                     emit_skip=True, skip=False, **cfg)
     return stack(x, None)
 
 
-def out_stack(x, skips, *, length, remat=False, use_skip=True, name="out_blocks", **cfg):
+def out_stack(x, skips, *, length, remat=False, remat_policy=None, use_skip=True,
+              name="out_blocks", **cfg):
     """Consume stacked skips in reverse (LIFO, matching the reference's
     skips.pop(), `libs/uvit.py:221-222`)."""
-    stack = _scanned(_BlockBody, length, remat, name, emit_skip=False, skip=use_skip, **cfg)
+    stack = _scanned(_BlockBody, length, remat, name, remat_policy,
+                     emit_skip=False, skip=use_skip, **cfg)
     x, _ = stack(x, skips[::-1] if use_skip else None)
     return x
 
@@ -136,18 +162,21 @@ class _DualBody(nn.Module):
         return (x, m), ys
 
 
-def dual_in_stack(x, m, *, img_len, length, remat=False, name="in_blocks_dual", **cfg):
+def dual_in_stack(x, m, *, img_len, length, remat=False, remat_policy=None,
+                  name="in_blocks_dual", **cfg):
     stack = _scanned(
-        _DualBody, length, remat, name, img_len=img_len, emit_skip=True, skip=False, **cfg
+        _DualBody, length, remat, name, remat_policy,
+        img_len=img_len, emit_skip=True, skip=False, **cfg
     )
     (x, m), (skips_x, skips_mx) = stack((x, m), None)
     return x, m, skips_x, skips_mx
 
 
 def dual_out_stack(x, m, skips_x, skips_mx, *, img_len, length, remat=False,
-                   use_skip=True, name="out_blocks_dual", **cfg):
+                   remat_policy=None, use_skip=True, name="out_blocks_dual", **cfg):
     stack = _scanned(
-        _DualBody, length, remat, name, img_len=img_len, emit_skip=False, skip=use_skip, **cfg
+        _DualBody, length, remat, name, remat_policy,
+        img_len=img_len, emit_skip=False, skip=use_skip, **cfg
     )
     xs = (skips_x[::-1], skips_mx[::-1]) if use_skip else None
     (x, m), _ = stack((x, m), xs)

@@ -59,6 +59,10 @@ class UViT(nn.Module):
     # (see scan_stack.py) — same math, O(1)-in-depth compile time.  Recommended
     # for deep models and anything embedded in a multi-NFE sampler program.
     scan_blocks: bool = False
+    # Remat policy when use_checkpoint=True: None = recompute everything,
+    # 'dots_no_batch' keeps MXU outputs and recomputes only VPU elementwise
+    # work in the backward pass (see scan_stack.resolve_remat_policy).
+    remat_policy: Optional[str] = None
     dtype: Dtype = jnp.float32
     attn_impl: str = "auto"
 
@@ -107,7 +111,9 @@ class UViT(nn.Module):
 
         block_cls = Block
         if self.use_checkpoint:
-            block_cls = nn.remat(Block)
+            from .scan_stack import resolve_remat_policy
+
+            block_cls = nn.remat(Block, policy=resolve_remat_policy(self.remat_policy))
 
         def make_block(name, skip=False):
             return block_cls(
@@ -134,12 +140,13 @@ class UViT(nn.Module):
             )
             x, skips = in_stack(
                 x, length=self.depth // 2, remat=self.use_checkpoint,
-                name="in_blocks", **stack_cfg,
+                remat_policy=self.remat_policy, name="in_blocks", **stack_cfg,
             )
             x = make_block("mid_block")(x)
             x = out_stack(
                 x, skips, length=self.depth // 2, remat=self.use_checkpoint,
-                use_skip=self.skip, name="out_blocks", **stack_cfg,
+                remat_policy=self.remat_policy, use_skip=self.skip,
+                name="out_blocks", **stack_cfg,
             )
         else:
             skips = []

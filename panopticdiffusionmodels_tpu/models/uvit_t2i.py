@@ -95,6 +95,8 @@ class UViTT2I(nn.Module):
     use_checkpoint: bool = False
     # Scan stacked per-layer params instead of unrolling (see scan_stack.py).
     scan_blocks: bool = False
+    # Remat policy when use_checkpoint=True (see scan_stack.resolve_remat_policy).
+    remat_policy: Optional[str] = None
     dtype: Dtype = jnp.float32
     attn_impl: str = "auto"
 
@@ -184,7 +186,12 @@ class UViTT2I(nn.Module):
             x = jnp.concatenate([time_token, context_token, x], axis=1)
             x = x + pos_embed[:, : self.extras + l, :].astype(x.dtype)
 
-        block_cls = nn.remat(Block) if self.use_checkpoint else Block
+        if self.use_checkpoint:
+            from .scan_stack import resolve_remat_policy
+
+            block_cls = nn.remat(Block, policy=resolve_remat_policy(self.remat_policy))
+        else:
+            block_cls = Block
 
         def make_block(name, skip=False):
             return block_cls(
@@ -226,7 +233,8 @@ class UViTT2I(nn.Module):
             if dual:
                 x, m, skips_x, skips_mx = dual_in_stack(
                     x, m, img_len=img_len, length=half,
-                    remat=self.use_checkpoint, name="in_blocks_dual", **stack_cfg,
+                    remat=self.use_checkpoint, remat_policy=self.remat_policy,
+                    name="in_blocks_dual", **stack_cfg,
                 )
                 mx = jnp.concatenate([x, m], axis=1)
                 x = make_block("mid_block")(x)
@@ -234,18 +242,19 @@ class UViTT2I(nn.Module):
                 x, m = couple(mx, x, "zero_convs_mid")
                 x, m = dual_out_stack(
                     x, m, skips_x, skips_mx, img_len=img_len, length=half,
-                    remat=self.use_checkpoint, use_skip=self.skip,
-                    name="out_blocks_dual", **stack_cfg,
+                    remat=self.use_checkpoint, remat_policy=self.remat_policy,
+                    use_skip=self.skip, name="out_blocks_dual", **stack_cfg,
                 )
             else:
                 x, skips = in_stack(
                     x, length=half, remat=self.use_checkpoint,
-                    name="in_blocks", **stack_cfg,
+                    remat_policy=self.remat_policy, name="in_blocks", **stack_cfg,
                 )
                 x = make_block("mid_block")(x)
                 x = out_stack(
                     x, skips, length=half, remat=self.use_checkpoint,
-                    use_skip=self.skip, name="out_blocks", **stack_cfg,
+                    remat_policy=self.remat_policy, use_skip=self.skip,
+                    name="out_blocks", **stack_cfg,
                 )
         else:
             skips, skips_mask = [], []

@@ -161,6 +161,7 @@ class DPMSolver:
         max_val: float = 1.0,
         solver_type: str = "dpm_solver",
         accel_tau: float = 0.0,
+        cfg_interval: Optional[Tuple[float, float]] = None,
     ):
         assert solver_type in ("dpm_solver", "taylor")
         self.model = model_fn
@@ -177,18 +178,30 @@ class DPMSolver:
         # is smooth in lambda, so the extrapolation IS the solver's own local
         # model of the trajectory).  0.0 disables (the exact FID protocol).
         self.accel_tau = float(accel_tau)
+        # Guidance interval (opt-in, protocol-changing): restrict CFG to model
+        # times t in [lo, hi] (arXiv:2404.07724).  Outside the interval the
+        # model is called with a STATIC cfg_on=False keyword, and the CFG
+        # wrappers in diffusion/cfg.py then run a single cond-only forward —
+        # half the network FLOPs for those steps.  The flag is resolved per
+        # solver step from the step's start time s at plan-build time, so it
+        # only splits the host-side scan groups; nothing dynamic on device.
+        # None disables (model_fn is never passed the keyword).
+        self.cfg_interval = (
+            None if cfg_interval is None else (float(cfg_interval[0]), float(cfg_interval[1]))
+        )
 
     # --- device-side pieces -------------------------------------------------
 
-    def _net(self, x, t: Any, sigma_t, alpha_t, mask_token):
+    def _net(self, x, t: Any, sigma_t, alpha_t, mask_token, cfg_on: bool = True):
         """One real network eval; in predict_x0 mode convert noise -> x0 using
         the host-precomputed (sigma_t, alpha_t) for this model time."""
         t_vec = jnp.full((x.shape[0],), t, dtype=x.dtype)
+        kw = {} if self.cfg_interval is None else {"cfg_on": cfg_on}
         if mask_token is None:
-            out = self.model(x, t_vec)
+            out = self.model(x, t_vec, **kw)
             noise, pred_mask = (out if isinstance(out, tuple) else (out, None))
         else:
-            noise, pred_mask = self.model(x, t_vec, mask_token=mask_token)
+            noise, pred_mask = self.model(x, t_vec, mask_token=mask_token, **kw)
         # Solver state stays in the caller's dtype (f32): a bf16-compute network
         # must not narrow the scan carry or the update numerics.
         noise = noise.astype(x.dtype)
@@ -220,12 +233,13 @@ class DPMSolver:
             fc["m2"] = jnp.zeros_like(mask_token)
         return fc
 
-    def _call_model(self, x, t: Any, sigma_t, alpha_t, mask_token, fc=None):
+    def _call_model(self, x, t: Any, sigma_t, alpha_t, mask_token, fc=None,
+                    cfg_on: bool = True):
         """Network eval with optional forecast-skip.  Returns (out, pred_mask,
         fc').  lambda at the eval point comes from the traced (sigma, alpha)
         scalars, so no extra coefficient tables are needed."""
         if fc is None:
-            out, pred_mask = self._net(x, t, sigma_t, alpha_t, mask_token)
+            out, pred_mask = self._net(x, t, sigma_t, alpha_t, mask_token, cfg_on)
             return out, pred_mask, None
 
         has_mask = mask_token is not None
@@ -233,7 +247,7 @@ class DPMSolver:
                - jnp.log(_bcast(sigma_t, jnp.zeros(())))).astype(x.dtype)
 
         def real(_):
-            out, pm = self._net(x, t, sigma_t, alpha_t, mask_token)
+            out, pm = self._net(x, t, sigma_t, alpha_t, mask_token, cfg_on)
             new = {"y1": out, "y2": fc["y1"], "lam1": lam, "lam2": fc["lam1"],
                    "k": fc["k"] + 1}
             if has_mask:
@@ -255,9 +269,9 @@ class DPMSolver:
         out, new_fc = res
         return out, None, new_fc
 
-    def _first_update(self, x, c, mask_t, mask_on: bool, fc=None):
+    def _first_update(self, x, c, mask_t, mask_on: bool, fc=None, cfg_on: bool = True):
         """Order-1 step (reference `dpm_solver_pp.py:420-494`)."""
-        noise_s, pred_mask, fc = self._call_model(x, c["s"], c["sigma_s"], c["alpha_s"], mask_t, fc)
+        noise_s, pred_mask, fc = self._call_model(x, c["s"], c["sigma_s"], c["alpha_s"], mask_t, fc, cfg_on)
         if self.predict_x0:
             # phi_1 here is (e^{-h}-1)/(-1) = -expm1(-h) in the reference (:441);
             # our precomputed phi_1 = expm1(-h), so negate.
@@ -279,9 +293,9 @@ class DPMSolver:
             mask_next = mask_t
         return x_t, pred_mask, mask_next, fc
 
-    def _second_update(self, x, c, mask_t, mask_on: bool, fc=None):
+    def _second_update(self, x, c, mask_t, mask_on: bool, fc=None, cfg_on: bool = True):
         """Order-2 step, 'dpm_solver' type (reference `dpm_solver_pp.py:496-599`)."""
-        noise_s, pred_mask, fc = self._call_model(x, c["s"], c["sigma_s"], c["alpha_s"], mask_t, fc)
+        noise_s, pred_mask, fc = self._call_model(x, c["s"], c["sigma_s"], c["alpha_s"], mask_t, fc, cfg_on)
         if self.predict_x0:
             x_s1 = (
                 _bcast(c["sigma_s1"] / c["sigma_s"], x) * x
@@ -298,7 +312,7 @@ class DPMSolver:
                 mask_s1 = mask_t
             noise_s1, pred_mask_s1, fc = self._call_model(
                 x_s1, c["s1"], c["sigma_s1"], c["alpha_s1"],
-                mask_s1 if mask_t is not None else None, fc,
+                mask_s1 if mask_t is not None else None, fc, cfg_on,
             )
             if self.solver_type == "taylor":
                 # reference `dpm_solver_pp.py:559-564`
@@ -330,7 +344,7 @@ class DPMSolver:
                 - _bcast(c["sigma_s1"] * c["phi_11"], x) * noise_s
             )
             noise_s1, _, fc = self._call_model(
-                x_s1, c["s1"], c["sigma_s1"], c["alpha_s1"], mask_t, fc
+                x_s1, c["s1"], c["sigma_s1"], c["alpha_s1"], mask_t, fc, cfg_on
             )
             if self.solver_type == "taylor":
                 # reference `dpm_solver_pp.py:584-589`
@@ -350,9 +364,9 @@ class DPMSolver:
             mask_next = mask_t
         return x_t, pred_mask, mask_next, fc
 
-    def _third_update(self, x, c, mask_t, mask_on: bool, fc=None):
+    def _third_update(self, x, c, mask_t, mask_on: bool, fc=None, cfg_on: bool = True):
         """Order-3 step, 'dpm_solver' type (reference `dpm_solver_pp.py:679-829`)."""
-        noise_s, pred_mask, fc = self._call_model(x, c["s"], c["sigma_s"], c["alpha_s"], mask_t, fc)
+        noise_s, pred_mask, fc = self._call_model(x, c["s"], c["sigma_s"], c["alpha_s"], mask_t, fc, cfg_on)
         if self.predict_x0:
             x_s1 = (
                 _bcast(c["sigma_s1"] / c["sigma_s"], x) * x
@@ -368,7 +382,7 @@ class DPMSolver:
                 mask_s1 = mask_t
             noise_s1, pred_mask_s1, fc = self._call_model(
                 x_s1, c["s1"], c["sigma_s1"], c["alpha_s1"],
-                mask_s1 if mask_t is not None else None, fc,
+                mask_s1 if mask_t is not None else None, fc, cfg_on,
             )
             x_s2 = (
                 _bcast(c["sigma_s2"] / c["sigma_s"], x) * x
@@ -387,7 +401,7 @@ class DPMSolver:
                 mask_s2 = mask_t
             noise_s2, pred_mask_s2, fc = self._call_model(
                 x_s2, c["s2"], c["sigma_s2"], c["alpha_s2"],
-                mask_s2 if mask_t is not None else None, fc,
+                mask_s2 if mask_t is not None else None, fc, cfg_on,
             )
             if self.solver_type == "taylor":
                 # reference `dpm_solver_pp.py:767-777`
@@ -423,14 +437,14 @@ class DPMSolver:
                 _bcast(jnp.exp(c["log_alpha_s1"] - c["log_alpha_s"]), x) * x
                 - _bcast(c["sigma_s1"] * c["phi_11"], x) * noise_s
             )
-            noise_s1, _, fc = self._call_model(x_s1, c["s1"], c["sigma_s1"], c["alpha_s1"], mask_t, fc)
+            noise_s1, _, fc = self._call_model(x_s1, c["s1"], c["sigma_s1"], c["alpha_s1"], mask_t, fc, cfg_on)
             x_s2 = (
                 _bcast(jnp.exp(c["log_alpha_s2"] - c["log_alpha_s"]), x) * x
                 - _bcast(c["sigma_s2"] * c["phi_12"], x) * noise_s
                 - _bcast((c["r2"] / c["r1"]) * c["sigma_s2"] * c["phi_22"], x)
                 * (noise_s1 - noise_s)
             )
-            noise_s2, _, fc = self._call_model(x_s2, c["s2"], c["sigma_s2"], c["alpha_s2"], mask_t, fc)
+            noise_s2, _, fc = self._call_model(x_s2, c["s2"], c["sigma_s2"], c["alpha_s2"], mask_t, fc, cfg_on)
             if self.solver_type == "taylor":
                 # reference `dpm_solver_pp.py:809-819`
                 d1_0 = _bcast(1.0 / c["r1"], x) * (noise_s1 - noise_s)
@@ -511,17 +525,31 @@ class DPMSolver:
             ]
         else:
             raise ValueError(method)
-        # group consecutive equal orders
-        groups: List[Tuple[int, dict, int]] = []
+        # group consecutive steps of equal (order, cfg_on); the cfg flag is a
+        # STATIC per-step property (start time s inside the guidance interval),
+        # so steps with different flags scan separately.
+        def key(sc: StepCoeffs):
+            return (sc.order, self._cfg_flag(sc.data["s"]))
+
+        groups: List[Tuple[int, bool, dict, int]] = []
         run: List[StepCoeffs] = []
         for sc in plan:
-            if run and sc.order != run[0].order:
-                groups.append((run[0].order, _stack_coeffs(run), len(run)))
+            if run and key(sc) != key(run[0]):
+                o, flag = key(run[0])
+                groups.append((o, flag, _stack_coeffs(run), len(run)))
                 run = []
             run.append(sc)
         if run:
-            groups.append((run[0].order, _stack_coeffs(run), len(run)))
+            o, flag = key(run[0])
+            groups.append((o, flag, _stack_coeffs(run), len(run)))
         return groups
+
+    def _cfg_flag(self, s: float) -> bool:
+        """Static guidance on/off for a step starting at model time s."""
+        if self.cfg_interval is None:
+            return True
+        lo, hi = self.cfg_interval
+        return lo <= s <= hi
 
     def sample(
         self,
@@ -550,6 +578,11 @@ class DPMSolver:
         # (reference `dpm_solver_pp.py:475,599,829`).
         mask_fixed = mask_token is not None and not update_mask
 
+        if method in ("adaptive", "multistep"):
+            assert self.cfg_interval is None, (
+                "cfg_interval is supported for the 'fast'/'fast_upstream'/"
+                "'singlestep' methods only"
+            )
         if method == "adaptive":
             x = self._sample_adaptive(x, order, t_T, t_0)
             return (x, mask_token) if mask_on else x
@@ -562,21 +595,21 @@ class DPMSolver:
         pred_mask = mask_token
         mask_t = mask_token
         fc = self.init_forecast(x, mask_token)
-        for group_order, coeffs, n in groups:
+        for group_order, group_cfg, coeffs, n in groups:
             update = getattr(self, self._UPDATES[group_order])
 
             if n == 1:
                 c = {k: v[0] for k, v in coeffs.items()}
-                x, pm, mask_t, fc = update(x, c, mask_t, mask_on, fc)
+                x, pm, mask_t, fc = update(x, c, mask_t, mask_on, fc, group_cfg)
                 if mask_on:
                     pred_mask = pm
                 elif mask_fixed:
                     pred_mask = pm
                     mask_t = pm
             else:
-                def body(carry, c, _update=update):
+                def body(carry, c, _update=update, _cfg=group_cfg):
                     x, pred_mask, mask_t, fc = carry
-                    x, pm, mask_t, fc = _update(x, c, mask_t, mask_on, fc)
+                    x, pm, mask_t, fc = _update(x, c, mask_t, mask_on, fc, _cfg)
                     if mask_on:
                         pred_mask = pm
                     elif mask_fixed:
@@ -597,7 +630,8 @@ class DPMSolver:
         sig = float(self.ns.marginal_std(s))
         log_a = float(self.ns.marginal_log_mean_coeff(s))
         t_vec = jnp.full((x.shape[0],), s, dtype=x.dtype)
-        out = self.model(x, t_vec)
+        kw = {} if self.cfg_interval is None else {"cfg_on": self._cfg_flag(s)}
+        out = self.model(x, t_vec, **kw)
         noise = out[0] if isinstance(out, tuple) else out
         return (x - sig * noise) / np.exp(log_a)
 

@@ -155,6 +155,8 @@ class GenerationPipeline:
         N = self.schedule.N
         scale = config.sample.get("scale", 0.0)
         cfg_on = bool(config.sample.get("cfg", False))
+        accel_tau = float(config.sample.get("accel", 0.0))
+        cfg_interval = tuple(config.sample.get("cfg_interval", ())) or None
         hw = config.nnet.get("img_size", None) or config.nnet.get("sample_size")
         z_shape = tuple(config.get("z_shape", (hw, hw, config.nnet.get("in_chans", 4))))
 
@@ -174,10 +176,11 @@ class GenerationPipeline:
                     empty, scale=scale, enabled=cfg_on,
                 )
                 solver = DPMSolver(
-                    lambda xx, tt, mask_token=None: cfg_fn(
-                        xx, tt * N, context, mask_token=mask_token
+                    lambda xx, tt, mask_token=None, cfg_on=True: cfg_fn(
+                        xx, tt * N, context, mask_token=mask_token, cfg_on=cfg_on
                     ),
                     self.ns, predict_x0=True,
+                    accel_tau=accel_tau, cfg_interval=cfg_interval,
                 )
                 k1, k2 = jax.random.split(key)
                 z = jax.random.normal(k1, (n, *z_shape))
@@ -204,8 +207,10 @@ class GenerationPipeline:
                     scale=scale, enabled=cfg_on,
                 )
                 solver = DPMSolver(
-                    lambda xx, tt, mask_token=None: cfg_fn(xx, tt * N, y),
+                    lambda xx, tt, mask_token=None, cfg_on=True: cfg_fn(
+                        xx, tt * N, y, cfg_on=cfg_on),
                     self.ns, predict_x0=True,
+                    accel_tau=accel_tau, cfg_interval=cfg_interval,
                 )
                 z = jax.random.normal(key, (n, *z_shape))
                 z0 = solver.sample(z, steps=steps, eps=1.0 / N, T=1.0, order=3,

@@ -418,9 +418,11 @@ class Trainer:
                 n = y.shape[0]
                 z_init = jax.random.normal(key, (n, *z_shape))
                 solver = DPMSolver(
-                    lambda xx, tt, mask_token=None: cfg_fn(xx, tt * N, y),
+                    lambda xx, tt, mask_token=None, cfg_on=True: cfg_fn(
+                        xx, tt * N, y, cfg_on=cfg_on),
                     self.noise_schedule, predict_x0=True,
                     accel_tau=config.sample.get("accel", 0.0),
+                    cfg_interval=tuple(config.sample.get("cfg_interval", ())) or None,
                 )
                 z = solver.sample(z_init, steps=steps, eps=1.0 / N, T=1.0, order=3,
                                   method="fast")
@@ -473,10 +475,11 @@ class Trainer:
                                 num_train_timesteps=N)
                 return maybe_decode(vae_params, z)
             solver = DPMSolver(
-                lambda xx, tt, mask_token=None: cfg_fn(xx, tt * N, context,
-                                                       mask_token=mask_token),
+                lambda xx, tt, mask_token=None, cfg_on=True: cfg_fn(
+                    xx, tt * N, context, mask_token=mask_token, cfg_on=cfg_on),
                 self.noise_schedule, predict_x0=True,
                 accel_tau=config.sample.get("accel", 0.0),
+                cfg_interval=tuple(config.sample.get("cfg_interval", ())) or None,
             )
             if panoptic_on:
                 if use_gt:

@@ -1,0 +1,96 @@
+#!/usr/bin/env python
+"""Panoptic training-throughput benchmark (dual-stream U-ViT-S/2, batch 64).
+
+A/B harness for training-side levers (remat policy, attention impl) on the
+real chip, using the SAME Trainer engine users run.  Synthetic data (host
+random) at the mscoco_uvit_small geometry: 32x32x4 latent moments, 77x768
+CLIP context, 64x64 panoptic map — the reference's headline training protocol
+(`train_t2i_discrete.py`).
+
+  python scripts/bench_train.py [policy ...]   # default: '' dots_no_batch
+
+One TPU process at a time (CLAUDE.md).
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", os.environ.get("JAX_CACHE_DIR", "/root/.jax_cache"))
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+
+def build_config(policy: str, batch: int):
+    from panopticdiffusionmodels_tpu.configs.base import (
+        adamw,
+        autoencoder_block,
+        base_config,
+        d,
+        sample_block,
+        train_block,
+        uvit_t2i,
+        warmup,
+    )
+
+    config = base_config()
+    config.task = "t2i_discrete"
+    config.z_shape = (32, 32, 4)
+    config.compute_dtype = "bfloat16"
+    config.autoencoder = autoencoder_block(scale_factor=0.23010)
+    config.train = train_block(10, batch, log_interval=100, eval_interval=10**9,
+                               save_interval=10**9)
+    config.optimizer = adamw(2e-4, 0.03, (0.9, 0.9))
+    config.lr_scheduler = warmup(10)
+    config.nnet = uvit_t2i(
+        img_size=32, patch_size=2, embed_dim=512, depth=12, num_heads=8,
+        clip_dim=768, num_clip_token=77, enable_panoptic=True, separate=True,
+        mask_size=64, use_checkpoint=True, scan_blocks=True, remat_policy=policy,
+    )
+    config.dataset = d(name="synthetic", n=4 * batch, z_shape=(32, 32, 8),
+                       clip_shape=(77, 768), mask_size=64)
+    config.sample = sample_block(50, 16, 16, algorithm="dpm_solver", cfg=True, scale=1.0)
+    return config
+
+
+def run(policy: str, batch: int, steps: int = 8):
+    import tempfile
+
+    import jax.numpy as jnp
+
+    from panopticdiffusionmodels_tpu.train.trainer import Trainer
+
+    config = build_config(policy, batch)
+    with tempfile.TemporaryDirectory() as wd:
+        trainer = Trainer(config, wd)
+        stream = trainer.data_stream()
+        batch_data = next(stream)
+        key = jax.random.PRNGKey(0)
+        state = trainer.state
+        # compile + warm
+        state, metrics = trainer._train_step(state, batch_data, key)
+        float(metrics["loss"])
+        times = []
+        for i in range(steps):
+            k = jax.random.fold_in(key, i)
+            t0 = time.perf_counter()
+            state, metrics = trainer._train_step(state, batch_data, k)
+            loss = float(metrics["loss"])  # device->host sync
+            times.append(time.perf_counter() - t0)
+        best = min(times)
+        print(f"policy={policy or '(default)':14s} batch={batch}  "
+              f"{best * 1e3:7.1f} ms/step  {batch / best:7.1f} img/s  loss={loss:.4f}")
+
+
+def main():
+    batch = int(os.environ.get("BENCH_BATCH", "64"))
+    policies = sys.argv[1:] or ["", "dots_no_batch"]
+    for p in policies:
+        run(p, batch)
+
+
+if __name__ == "__main__":
+    main()

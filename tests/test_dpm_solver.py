@@ -266,3 +266,110 @@ def test_accel_zero_is_exact_protocol(rng):
     b = DPMSolver(model, ns, predict_x0=True, accel_tau=0.0).sample(
         x_T, steps=12, eps=1e-3, order=3, method="fast")
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+# --- guidance interval (config.sample.cfg_interval, arXiv:2404.07724) --------
+
+def _flagged_model(c, ns, counts):
+    """Delta model that accepts the solver's static cfg_on keyword and counts
+    real executions per flag value at runtime."""
+    base = _delta_model(c, ns)
+
+    def model(x, t_vec, mask_token=None, cfg_on=True):
+        def bump(_):
+            counts[bool(cfg_on)] += 1
+            return np.int32(0)
+
+        jax.experimental.io_callback(bump, jax.ShapeDtypeStruct((), jnp.int32),
+                                     jnp.zeros(()))
+        return base(x, t_vec, mask_token=mask_token)
+
+    return model
+
+
+def test_cfg_interval_full_interval_is_identical(rng):
+    """cfg_interval covering all of (0, 1] must be byte-identical to None."""
+    ns = _ns()
+    model = _delta_model(0.2, ns)
+    x_T = jax.random.normal(rng, (1, 4, 4, 4))
+    a = DPMSolver(model, ns, predict_x0=True).sample(
+        x_T, steps=15, eps=1e-3, order=3, method="fast")
+
+    def model_kw(x, t, mask_token=None, cfg_on=True):
+        return model(x, t, mask_token=mask_token)
+
+    b = DPMSolver(model_kw, ns, predict_x0=True, cfg_interval=(0.0, 1.0)).sample(
+        x_T, steps=15, eps=1e-3, order=3, method="fast")
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_cfg_interval_splits_flags_by_step_time(rng):
+    """Steps starting outside [lo, hi] must execute with cfg_on=False; the
+    total eval count is unchanged (only the per-eval cost drops)."""
+    ns = _ns()
+    counts = {True: 0, False: 0}
+    model = _flagged_model(0.3, ns, counts)
+    solver = DPMSolver(model, ns, predict_x0=True, cfg_interval=(0.3, 0.8))
+    x_T = jax.random.normal(rng, (1, 4, 4, 4))
+    jax.jit(lambda x: solver.sample(x, steps=30, eps=1e-3, order=3,
+                                    method="fast"))(x_T)
+    # time_uniform grid over [1e-3, 1]: steps start both inside and outside
+    assert counts[True] > 0 and counts[False] > 0, counts
+    assert counts[True] + counts[False] == 30, counts
+    # with (0.3, 0.8) roughly half the grid is outside the interval
+    assert counts[False] >= 10, counts
+
+
+def test_cfg_interval_never_on_equals_uncond_sampling(rng):
+    """An interval that never triggers must match sampling with CFG disabled
+    byte-for-byte (the wrapper collapses to the single cond forward)."""
+    from panopticdiffusionmodels_tpu.diffusion.cfg import make_cfg_class_cond
+
+    ns = _ns()
+    base = _delta_model(0.1, ns)
+
+    def apply_fn(x, t, y):
+        # label shifts the delta point so CFG on/off is distinguishable
+        return base(x, t) + 0.01 * y[:, None, None, None].astype(x.dtype)
+
+    y = jnp.ones((2,), jnp.int32)
+    cfg_fn = make_cfg_class_cond(apply_fn, null_label=10, scale=0.4, enabled=True)
+    x_T = jax.random.normal(rng, (2, 4, 4, 4))
+
+    with_interval = DPMSolver(
+        lambda xx, tt, mask_token=None, cfg_on=True: cfg_fn(xx, tt, y, cfg_on=cfg_on),
+        ns, predict_x0=True, cfg_interval=(2.0, 3.0),
+    ).sample(x_T, steps=12, eps=1e-3, order=3, method="fast")
+
+    plain_fn = make_cfg_class_cond(apply_fn, null_label=10, scale=0.4, enabled=False)
+    without_cfg = DPMSolver(
+        lambda xx, tt, mask_token=None: plain_fn(xx, tt, y),
+        ns, predict_x0=True,
+    ).sample(x_T, steps=12, eps=1e-3, order=3, method="fast")
+
+    np.testing.assert_array_equal(np.asarray(with_interval), np.asarray(without_cfg))
+
+    # sanity: full CFG differs from cond-only (the interval is doing something)
+    full_cfg = DPMSolver(
+        lambda xx, tt, mask_token=None: cfg_fn(xx, tt, y),
+        ns, predict_x0=True,
+    ).sample(x_T, steps=12, eps=1e-3, order=3, method="fast")
+    assert float(np.abs(np.asarray(full_cfg) - np.asarray(without_cfg)).max()) > 1e-5
+
+
+def test_cfg_interval_composes_with_accel_and_mask(rng):
+    ns = _ns()
+    model = _delta_model(0.0, ns)
+
+    def model_kw(x, t, mask_token=None, cfg_on=True):
+        return model(x, t, mask_token=mask_token)
+
+    solver = DPMSolver(model_kw, ns, predict_x0=True, accel_tau=0.2,
+                       cfg_interval=(0.2, 0.9))
+    k1, k2 = jax.random.split(rng)
+    x_T = jax.random.normal(k1, (2, 4, 4, 4))
+    m_T = jax.random.normal(k2, (2, 8, 8, 8))
+    x, pm = jax.jit(lambda x, m: solver.sample(
+        x, steps=21, eps=1e-3, order=3, method="fast", mask_token=m))(x_T, m_T)
+    assert np.isfinite(np.asarray(x)).all()
+    np.testing.assert_allclose(np.asarray(pm), 0.5, atol=1e-2)

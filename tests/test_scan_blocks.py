@@ -136,3 +136,43 @@ def test_scan_init_and_grads(rng):
     g = jax.grad(loss)(params)
     gk = g["params"]["out_blocks"]["block"]["skip_linear"]["kernel"]
     assert float(jnp.abs(gk).max()) > 0
+
+
+def test_remat_policy_grads_match_default(rng):
+    """remat_policy changes WHAT is saved for the backward pass, never the
+    math: loss and gradients must match the default policy bitwise-closely."""
+    def build(policy):
+        return UViT(
+            img_size=8, patch_size=2, in_chans=3, embed_dim=32, depth=6,
+            num_heads=4, mlp_ratio=2.0, scan_blocks=True, use_checkpoint=True,
+            attn_impl="xla", remat_policy=policy,
+        )
+
+    x = jax.random.normal(rng, (2, 8, 8, 3))
+    t = jnp.ones((2,))
+    ref_model = build(None)
+    params = ref_model.init(rng, x, t)
+
+    def loss(model, p):
+        return jnp.mean(model.apply(p, x, t) ** 2)
+
+    l_ref, g_ref = jax.value_and_grad(lambda p: loss(ref_model, p))(params)
+    for policy in ("dots", "dots_no_batch"):
+        model = build(policy)
+        l, g = jax.value_and_grad(lambda p: loss(model, p))(params)
+        assert float(jnp.abs(l - l_ref)) < 1e-6
+        flat_ref = jax.tree.leaves(g_ref)
+        flat = jax.tree.leaves(g)
+        for a, b in zip(flat, flat_ref):
+            assert jnp.allclose(a, b, atol=1e-5), policy
+
+
+def test_remat_policy_unknown_raises(rng):
+    import pytest
+
+    model = UViT(img_size=8, patch_size=2, in_chans=3, embed_dim=32, depth=4,
+                 num_heads=4, scan_blocks=True, use_checkpoint=True,
+                 attn_impl="xla", remat_policy="bogus")
+    x = jax.random.normal(rng, (1, 8, 8, 3))
+    with pytest.raises(ValueError):
+        model.init(rng, x, jnp.ones((1,)))
