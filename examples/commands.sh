@@ -36,6 +36,14 @@ python -m panopticdiffusionmodels_tpu.evaluation.clip_score \
 # --- sampling ---------------------------------------------------------------
 python sample.py --config=mscoco_uvit_small
 
+# opt-in speed modes (exact protocol when unset; see BENCH.md for the
+# measured speed/deviation trade):
+#   forecast-skip (~2.4x)                 --config.sample.accel=0.2
+#   guidance interval (1.3x, 2404.07724)  --config.sample.cfg_interval="(0.0,0.5)"
+# combined: 3.05x the exact protocol at 1.2% trajectory deviation
+python sample.py --config=mscoco_uvit_small \
+    --config.sample.accel=0.2 --config.sample.cfg_interval="(0.0,0.5)"
+
 # --- feature extraction -----------------------------------------------------
 python scripts/extract_mscoco_feature.py --split val2017 \
     --datadir assets/datasets/coco --outdir assets/datasets/coco256_features
@@ -44,4 +52,7 @@ python scripts/extract_test_prompt_feature.py --outdir assets/datasets/coco256_f
 
 # --- benchmarks -------------------------------------------------------------
 python bench.py                      # headline sampling throughput (one JSON line)
+python scripts/bench_speed_modes.py  # speed modes: throughput + deviation evidence
+python scripts/bench_breakdown.py    # wall-time shares: solver / decode / forward
+python scripts/bench_train.py        # training throughput A/B (remat policies)
 python -m pytest tests/ -q           # full test suite (8-device CPU mesh)

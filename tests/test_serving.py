@@ -57,3 +57,18 @@ def test_unet_pipeline_generate():
     images, masks = pipe.generate(contexts=np.zeros((2, 7, 16), np.float32), steps=6)
     assert images.shape == (2, 8, 8, 4)
     assert masks.shape == (2, 16, 16, 1)
+
+
+def test_pipeline_speed_modes_config():
+    """sample.accel + sample.cfg_interval flow through serving; outputs stay
+    finite and in range with both speed modes on."""
+    config = get_config("synthetic_tiny")
+    config.sample.accel = 0.2
+    config.sample.cfg_interval = (0.0, 0.5)
+    pipe = GenerationPipeline.from_config(config)
+    images, masks = pipe.generate(
+        contexts=np.zeros((2, 7, 16), np.float32), steps=9, seed=3
+    )
+    assert images.shape == (2, 8, 8, 4)
+    assert np.isfinite(images).all()
+    assert masks.shape == (2, 16, 16, 1)
