@@ -39,15 +39,17 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def build_pipeline(batch_size: int):
+def build_components():
+    """The headline protocol's pieces (model, params, vae, schedule, noise
+    schedule) — shared with scripts/bench_breakdown.py so component timings
+    measure EXACTLY the objects the headline pipeline runs."""
     from panopticdiffusionmodels_tpu.diffusion import (
         Schedule,
         stable_diffusion_beta_schedule,
     )
-    from panopticdiffusionmodels_tpu.diffusion.cfg import make_cfg_class_cond
     from panopticdiffusionmodels_tpu.models import UViT
     from panopticdiffusionmodels_tpu.models.vae import get_model as get_vae
-    from panopticdiffusionmodels_tpu.samplers import DPMSolver, NoiseScheduleVP
+    from panopticdiffusionmodels_tpu.samplers import NoiseScheduleVP
 
     model = UViT(
         img_size=32, patch_size=2, in_chans=4, embed_dim=1024, depth=20,
@@ -66,6 +68,14 @@ def build_pipeline(batch_size: int):
     betas = stable_diffusion_beta_schedule()
     schedule = Schedule(betas)
     ns = NoiseScheduleVP("discrete", betas=betas)
+    return model, params, vae, vae_params, schedule, ns
+
+
+def build_pipeline(batch_size: int, components=None):
+    from panopticdiffusionmodels_tpu.diffusion.cfg import make_cfg_class_cond
+    from panopticdiffusionmodels_tpu.samplers import DPMSolver
+
+    model, params, vae, vae_params, schedule, ns = components or build_components()
 
     # Opt-in speed modes (the headline protocol keeps both off):
     #   BENCH_ACCEL=<tau>            forecast-skip threshold

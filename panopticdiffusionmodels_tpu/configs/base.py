@@ -125,6 +125,7 @@ def sample_block(sample_steps, n_samples, mini_batch_size, algorithm="dpm_solver
     # applied only for solver steps starting inside the interval
     # (arXiv:2404.07724); steps outside run one cond-only forward (half the
     # FLOPs).  () = guidance at every step (the exact reference protocol).
+    # DPM-Solver algorithms only; the PNDM path ignores it.
     return d(
         sample_steps=sample_steps,
         n_samples=n_samples,

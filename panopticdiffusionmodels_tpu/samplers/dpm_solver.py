@@ -186,9 +186,20 @@ class DPMSolver:
         # solver step from the step's start time s at plan-build time, so it
         # only splits the host-side scan groups; nothing dynamic on device.
         # None disables (model_fn is never passed the keyword).
-        self.cfg_interval = (
-            None if cfg_interval is None else (float(cfg_interval[0]), float(cfg_interval[1]))
-        )
+        if cfg_interval is None:
+            self.cfg_interval = None
+        else:
+            if len(cfg_interval) != 2:
+                raise ValueError(
+                    f"cfg_interval must be (lo, hi), got {tuple(cfg_interval)}"
+                )
+            lo, hi = float(cfg_interval[0]), float(cfg_interval[1])
+            if lo > hi:
+                raise ValueError(
+                    f"cfg_interval lo must be <= hi, got ({lo}, {hi}) — a reversed"
+                    " interval would silently disable guidance at every step"
+                )
+            self.cfg_interval = (lo, hi)
 
     # --- device-side pieces -------------------------------------------------
 
@@ -473,7 +484,8 @@ class DPMSolver:
     # --- plan building + sampling ------------------------------------------
 
     def _build_plan(self, steps, order, method, skip_type, t_0, t_T):
-        """Host: list of (order, stacked_coeffs, n_steps) groups of equal order."""
+        """Host: list of (order, cfg_on, stacked_coeffs, n_steps) groups of
+        consecutive steps with equal (order, guidance flag)."""
         if method == "fast":
             orders = get_orders_for_fast(steps, order)
             timesteps = get_time_steps(self.ns, skip_type, t_T, t_0, steps)

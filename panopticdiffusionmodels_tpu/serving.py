@@ -154,7 +154,7 @@ class GenerationPipeline:
         config = self.config
         N = self.schedule.N
         scale = config.sample.get("scale", 0.0)
-        cfg_on = bool(config.sample.get("cfg", False))
+        cfg_enabled = bool(config.sample.get("cfg", False))
         accel_tau = float(config.sample.get("accel", 0.0))
         cfg_interval = tuple(config.sample.get("cfg_interval", ())) or None
         hw = config.nnet.get("img_size", None) or config.nnet.get("sample_size")
@@ -173,7 +173,7 @@ class GenerationPipeline:
                     lambda xx, tt, cc, mask_token=None: self.nnet.apply(
                         params, xx, tt, cc, mask_token=mask_token
                     ),
-                    empty, scale=scale, enabled=cfg_on,
+                    empty, scale=scale, enabled=cfg_enabled,
                 )
                 solver = DPMSolver(
                     lambda xx, tt, mask_token=None, cfg_on=True: cfg_fn(
@@ -204,7 +204,7 @@ class GenerationPipeline:
                 cfg_fn = make_cfg_class_cond(
                     lambda xx, tt, yy: self.nnet.apply(params, xx, tt, yy),
                     null_label=config.nnet.num_classes - 1,
-                    scale=scale, enabled=cfg_on,
+                    scale=scale, enabled=cfg_enabled,
                 )
                 solver = DPMSolver(
                     lambda xx, tt, mask_token=None, cfg_on=True: cfg_fn(
@@ -220,11 +220,13 @@ class GenerationPipeline:
         else:
 
             def fn(params, vae_params, key, _):
+                # no CFG wrapper here, so cfg_interval does not apply; the
+                # model-agnostic forecast-skip accel still does.
                 solver = DPMSolver(
                     lambda xx, tt, mask_token=None: self.nnet.apply(
                         params, xx, tt * N
                     ),
-                    self.ns, predict_x0=True,
+                    self.ns, predict_x0=True, accel_tau=accel_tau,
                 )
                 z = jax.random.normal(key, (n, *z_shape))
                 z0 = solver.sample(z, steps=steps, eps=1.0 / N, T=1.0, order=3,

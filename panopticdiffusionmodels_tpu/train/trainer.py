@@ -358,7 +358,7 @@ class Trainer:
         config = self.config
         steps = sample_steps or config.sample.sample_steps
         scale = config.sample.get("scale", 0.0)
-        cfg_on = bool(config.sample.get("cfg", False))
+        cfg_enabled = bool(config.sample.get("cfg", False))
         z_shape = tuple(config.get("z_shape", None) or self.dataset.data_shape)
         has_vae = self.vae is not None
         # Sampling never differentiates: use the inference attention dispatch
@@ -413,7 +413,7 @@ class Trainer:
                     lambda xx, tt, yy: nnet.apply(params, xx, tt, yy),
                     null_label=config.nnet.num_classes - 1,
                     scale=scale,
-                    enabled=cfg_on,
+                    enabled=cfg_enabled,
                 )
                 n = y.shape[0]
                 z_init = jax.random.normal(key, (n, *z_shape))
@@ -448,7 +448,7 @@ class Trainer:
                 return nnet.apply(params, xx, tt, cc, mask_token=mask_token)
 
             cfg_fn = make_cfg_t2i(apply_nnet, empty_context, scale=scale,
-                                  enabled=cfg_on)
+                                  enabled=cfg_enabled)
             n = context.shape[0]
             k1, k2 = jax.random.split(key)
             z_init = jax.random.normal(k1, (n, *z_shape))

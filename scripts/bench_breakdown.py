@@ -45,25 +45,14 @@ def main():
     batch = int(os.environ.get("BENCH_BATCH", "32"))
     import bench
 
-    pipeline, params, vae_params = bench.build_pipeline(batch)
-    from panopticdiffusionmodels_tpu.diffusion import (
-        Schedule,
-        stable_diffusion_beta_schedule,
-    )
     from panopticdiffusionmodels_tpu.diffusion.cfg import make_cfg_class_cond
-    from panopticdiffusionmodels_tpu.models import UViT
-    from panopticdiffusionmodels_tpu.models.vae import get_model as get_vae
-    from panopticdiffusionmodels_tpu.samplers import DPMSolver, NoiseScheduleVP
+    from panopticdiffusionmodels_tpu.samplers import DPMSolver
 
-    model = UViT(
-        img_size=32, patch_size=2, in_chans=4, embed_dim=1024, depth=20,
-        num_heads=16, num_classes=1001, dtype=jnp.bfloat16, scan_blocks=True,
-        attn_impl="infer",
-    )
-    vae = get_vae(dtype=jnp.bfloat16)
-    betas = stable_diffusion_beta_schedule()
-    schedule = Schedule(betas)
-    ns = NoiseScheduleVP("discrete", betas=betas)
+    # One construction, shared with the full pipeline: the component timings
+    # below measure EXACTLY the objects the headline runs.
+    components = bench.build_components()
+    model, params, vae, vae_params, schedule, ns = components
+    pipeline, params, vae_params = bench.build_pipeline(batch, components)
     ci_env = os.environ.get("BENCH_CFG_INTERVAL", "")
     cfg_interval = tuple(float(v) for v in ci_env.split(",")) if ci_env else None
 

@@ -11,8 +11,10 @@ Note the two modes differ in kind: accel approximates the SAME trajectory
 guidance protocol (arXiv:2404.07724 reports it IMPROVES FID); its deviation is
 reported only to show the output stays in-distribution, not as an error bar.
 
-Usage: python scripts/bench_speed_modes.py [accel=0.2] [interval=0.0,0.5] ...
-Defaults: accel=0.2 accel=0.3 interval=0.0,0.5 interval=0.2,0.9
+Usage: python scripts/bench_speed_modes.py [accel=<tau>] [interval=<lo>,<hi>]
+       [combo=<tau>:<lo>,<hi>] ...
+Defaults: accel=0.2 accel=0.3 interval=0.0,0.5 combo=0.2:0.0,0.5
+(combo=0.2:0.0,0.5 is the recommended speed mode in BENCH.md.)
 One TPU process at a time (CLAUDE.md).
 """
 import os
@@ -59,7 +61,8 @@ def run_mode(batch, accel, interval):
 
 def main():
     batch = int(os.environ.get("BENCH_BATCH", "32"))
-    modes = sys.argv[1:] or ["accel=0.2", "accel=0.3", "interval=0.0,0.5", "interval=0.2,0.9"]
+    modes = sys.argv[1:] or ["accel=0.2", "accel=0.3", "interval=0.0,0.5",
+                             "combo=0.2:0.0,0.5"]
 
     base_ips, base_img = run_mode(batch, 0.0, None)
     print(f"exact protocol: {base_ips:.2f} img/s")

@@ -373,3 +373,16 @@ def test_cfg_interval_composes_with_accel_and_mask(rng):
         x, steps=21, eps=1e-3, order=3, method="fast", mask_token=m))(x_T, m_T)
     assert np.isfinite(np.asarray(x)).all()
     np.testing.assert_allclose(np.asarray(pm), 0.5, atol=1e-2)
+
+
+def test_cfg_interval_validation():
+    """Reversed or malformed intervals are rejected at construction (a
+    reversed interval would silently disable guidance everywhere)."""
+    ns = _ns()
+    model = _delta_model(0.1, ns)
+    with pytest.raises(ValueError):
+        DPMSolver(model, ns, cfg_interval=(0.9, 0.2))
+    with pytest.raises(ValueError):
+        DPMSolver(model, ns, cfg_interval=(0.5,))
+    # well-formed intervals construct fine
+    DPMSolver(model, ns, cfg_interval=(0.2, 0.9))
