@@ -1,11 +1,16 @@
 #!/usr/bin/env python
-"""Panoptic training-throughput benchmark (dual-stream U-ViT-S/2, batch 64).
+"""Training-throughput benchmark on the real chip, via the SAME Trainer
+engine users run, on synthetic (host-random) data.
 
-A/B harness for training-side levers (remat policy, attention impl) on the
-real chip, using the SAME Trainer engine users run.  Synthetic data (host
-random) at the mscoco_uvit_small geometry: 32x32x4 latent moments, 77x768
-CLIP context, 64x64 panoptic map — the reference's headline training protocol
-(`train_t2i_discrete.py`).
+Protocols (BENCH_TASK env):
+  panoptic (default) — dual-stream U-ViT-S/2, 32x32x4 latent moments, 77x768
+      CLIP context, 64x64 panoptic map: the reference's headline training
+      protocol (`train_t2i_discrete.py`).
+  latentL — class-conditional ImageNet-256 U-ViT-L/2 latent training
+      (reference `train_ldm_discrete.py` + `configs/imagenet256_uvit_large.py`),
+      the model the sampling headline (bench.py) serves.
+
+A/B over training-side levers (remat policy, attention impl):
 
   python scripts/bench_train.py [policy ...]   # default: '' dots_no_batch
 
@@ -32,9 +37,30 @@ def build_config(policy: str, batch: int):
         d,
         sample_block,
         train_block,
+        uvit,
         uvit_t2i,
         warmup,
     )
+
+    if os.environ.get("BENCH_TASK", "panoptic") == "latentL":
+        config = base_config()
+        config.task = "latent_discrete"
+        config.z_shape = (32, 32, 4)
+        config.compute_dtype = "bfloat16"
+        config.autoencoder = autoencoder_block(scale_factor=0.23010)
+        config.train = train_block(10, batch, mode="cond", log_interval=100,
+                                   eval_interval=10**9, save_interval=10**9)
+        config.optimizer = adamw(2e-4, 0.03, (0.99, 0.99))
+        config.lr_scheduler = warmup(10)
+        config.nnet = uvit(img_size=32, patch_size=2, in_chans=4, embed_dim=1024,
+                           depth=20, num_heads=16, num_classes=1001,
+                           use_checkpoint=True, scan_blocks=True, conv=False,
+                           remat_policy=policy)
+        config.dataset = d(name="synthetic", style="imagenet", n=4 * batch,
+                           z_shape=(32, 32, 8), num_classes=1001)
+        config.sample = sample_block(50, 16, 16, algorithm="dpm_solver",
+                                     cfg=True, scale=0.4)
+        return config
 
     config = base_config()
     config.task = "t2i_discrete"
