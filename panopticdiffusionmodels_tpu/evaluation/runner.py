@@ -123,7 +123,9 @@ def make_eval_sample_fn(trainer: Trainer, sample_steps: int, batch_size: int):
                     target = ints_to_analog(
                         jax.numpy.asarray(panoptic), n=config.nnet.mask_bits
                     )
-                    loss_mask = np.asarray(mos(target - pred_mask)).mean()
+                    # Stays a DEVICE array: converting here would force a sync
+                    # and defeat sample2dir's dispatch/write overlap.
+                    loss_mask = mos(target - pred_mask)
                 else:
                     loss_mask = np.nan
                 return np.asarray(index), samples, pred_mask, loss_mask, panoptic

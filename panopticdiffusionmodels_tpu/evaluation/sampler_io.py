@@ -60,11 +60,19 @@ def sample2dir(
     mask_path: Optional[str] = None,
     mask_bits: int = 8,
     verbose: bool = True,
+    overlap: bool = True,
 ):
     """sample_fn(batch_size) -> (indices, images[, pred_mask, loss_mask, panoptic]).
 
     Images in [-1,1] (unpreprocess maps to [0,1]); pred_mask are analog bits
     (B, H, W, mask_bits).  Returns dict of mask metrics when use_panoptic.
+
+    With `overlap=True` (default) the loop runs one batch deep: batch i+1 is
+    DISPATCHED (jax async dispatch returns futures) before batch i's outputs
+    are fetched and written, so host-side PNG encoding / mask colorizing
+    overlaps device sampling instead of idling the chip.  sample_fn must not
+    force a device->host sync internally for the overlap to take effect
+    (runner.make_eval_sample_fn keeps everything, incl. loss_mask, on device).
     """
     is_main = jax.process_index() == 0
     if is_main:
@@ -72,10 +80,10 @@ def sample2dir(
         if use_panoptic and mask_path:
             os.makedirs(mask_path, exist_ok=True)
     colormap = get_colormap()
-    idx = 0
+    state = {"idx": 0}
     loss_mask_all, cnt_diff_all = [], []
-    for _batch_size in amortize(n_samples, batch_size):
-        out = sample_fn(batch_size)
+
+    def process(out, _batch_size):
         if use_panoptic:
             sample_idx, samples, pred_mask, loss_mask, panoptic = out
             loss_mask_all.append(float(np.mean(np.asarray(loss_mask))))
@@ -84,23 +92,37 @@ def sample2dir(
         samples = np.asarray(samples)[:_batch_size]
         if unpreprocess_fn is not None:
             samples = unpreprocess_fn(samples)
-        if is_main:
-            if use_panoptic:
-                ids = np.asarray(bits2int(np.asarray(pred_mask) > 0, n=mask_bits))
-                if panoptic is not None:
-                    cnt_diff_all.append(eval_mask_cnt(ids, np.asarray(panoptic)))
-                colors = color_map(ids, colormap)
-            for i, sample in enumerate(samples):
-                # 5-caption pairing contract (reference utils.py:631-636)
-                name = f"{int(sample_idx[i]) + 10000 * (idx // 4992)}.png"
-                _save_png(sample, os.path.join(path, name))
-                if use_panoptic and mask_path:
-                    from PIL import Image
+        if not is_main:
+            state["idx"] += len(samples)
+            return
+        if use_panoptic:
+            ids = np.asarray(bits2int(np.asarray(pred_mask) > 0, n=mask_bits))
+            if panoptic is not None:
+                cnt_diff_all.append(eval_mask_cnt(ids, np.asarray(panoptic)))
+            colors = color_map(ids, colormap)
+        for i, sample in enumerate(samples):
+            # 5-caption pairing contract (reference utils.py:631-636)
+            name = f"{int(sample_idx[i]) + 10000 * (state['idx'] // 4992)}.png"
+            _save_png(sample, os.path.join(path, name))
+            if use_panoptic and mask_path:
+                from PIL import Image
 
-                    Image.fromarray(colors[i].astype(np.uint8)).save(
-                        os.path.join(mask_path, name)
-                    )
-                idx += 1
+                Image.fromarray(colors[i].astype(np.uint8)).save(
+                    os.path.join(mask_path, name)
+                )
+            state["idx"] += 1
+
+    pending = None
+    for _batch_size in amortize(n_samples, batch_size):
+        out = sample_fn(batch_size)
+        if pending is not None:
+            process(*pending)
+        if overlap:
+            pending = (out, _batch_size)
+        else:
+            process(out, _batch_size)
+    if pending is not None:
+        process(*pending)
     metrics = {}
     if use_panoptic and loss_mask_all:
         metrics["eval_loss_mask"] = float(np.mean(loss_mask_all))

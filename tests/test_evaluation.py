@@ -109,6 +109,43 @@ def test_sample2dir_contract(tmp_path):
     assert "eval_cnt_mask_diff" in metrics
 
 
+def test_sample2dir_overlap_equivalent(tmp_path):
+    """The one-deep dispatch/write pipeline (overlap=True, the default) must
+    produce byte-identical files and metrics vs the sequential loop."""
+
+    def make_sample_fn():
+        rng = np.random.default_rng(7)
+        counter = {"n": 0}
+
+        def sample_fn(n):
+            idx = np.arange(counter["n"], counter["n"] + n)
+            counter["n"] += n
+            samples = rng.uniform(-1, 1, (n, 16, 16, 3)).astype(np.float32)
+            pred_mask = rng.normal(size=(n, 8, 8, 8)).astype(np.float32)
+            panoptic = rng.integers(0, 201, (n, 8, 8, 1))
+            return idx, samples, pred_mask, np.float32(idx[0]), panoptic
+
+        return sample_fn
+
+    outs = {}
+    for overlap in (False, True):
+        d = tmp_path / f"ov{int(overlap)}"
+        metrics = sample2dir(
+            str(d / "samples"), 10, 4, make_sample_fn(),
+            unpreprocess_fn=lambda v: np.clip((v + 1) / 2, 0, 1),
+            use_panoptic=True, mask_path=str(d / "mask"), overlap=overlap,
+        )
+        files = {
+            f"{sub}/{name}": (d / sub / name).read_bytes()
+            for sub in ("samples", "mask")
+            for name in sorted(os.listdir(d / sub))
+        }
+        outs[overlap] = (metrics, files)
+    assert outs[False][0] == outs[True][0]
+    assert sorted(outs[False][1]) == sorted(outs[True][1])
+    assert all(outs[False][1][k] == outs[True][1][k] for k in outs[False][1])
+
+
 def test_frechet_distance_singular_covariance_no_nan():
     """Rank-deficient covariances must trigger the eps-offset retry
     (reference tools/fid_score.py:60-67) and return a finite distance."""
