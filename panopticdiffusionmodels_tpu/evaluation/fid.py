@@ -101,23 +101,45 @@ def dir_statistics(
     path: str,
     extractor: Callable[[np.ndarray], np.ndarray],
     batch_size: int = 50,
+    workers: int = 8,
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """(mu, sigma) over every image in a directory."""
+    """(mu, sigma) over every image in a directory.
+
+    With `workers > 0` (default) PNG decoding runs on a thread pool (PIL
+    releases the GIL in the decode) and the extractor's device work is one
+    batch deep — batch i+1 decodes on host while batch i runs on device
+    (jax async dispatch; np.asarray deferred one step).  `workers=0` is the
+    sequential reference path; outputs are identical (order-preserving).
+    """
     from PIL import Image
 
     names = sorted(
         n for n in os.listdir(path)
         if n.lower().endswith((".png", ".jpg", ".jpeg"))
     )
-    imgs, feats = [], []
-    for n in names:
+
+    def load(n):
         img = np.asarray(Image.open(os.path.join(path, n)).convert("RGB"))
-        imgs.append(img.astype(np.float32) / 255.0)
-        if len(imgs) == batch_size:
-            feats.append(np.asarray(extractor(np.stack(imgs))))
-            imgs = []
-    if imgs:
-        feats.append(np.asarray(extractor(np.stack(imgs))))
+        return img.astype(np.float32) / 255.0
+
+    chunks = [names[i : i + batch_size] for i in range(0, len(names), batch_size)]
+    feats = []
+    if workers <= 0:
+        for chunk in chunks:
+            feats.append(np.asarray(extractor(np.stack([load(n) for n in chunk]))))
+    else:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(workers) as ex:
+            pending = None
+            for chunk in chunks:
+                imgs = np.stack(list(ex.map(load, chunk)))
+                out = extractor(imgs)  # async dispatch; don't sync yet
+                if pending is not None:
+                    feats.append(np.asarray(pending))
+                pending = out
+            if pending is not None:
+                feats.append(np.asarray(pending))
     return compute_statistics(np.concatenate(feats, axis=0))
 
 

@@ -45,6 +45,7 @@ def main():
     # warm the compile once
     float(np.asarray(pipeline(params, vae_params, key, y))[0, 0, 0, 0])
 
+    png_dir = None
     for overlap in (False, True):
         counter["n"], counter["k"] = 0, key
         d = tempfile.mkdtemp(prefix=f"evalio{int(overlap)}_")
@@ -54,9 +55,31 @@ def main():
                    overlap=overlap)
         dt = time.perf_counter() - t0
         n_png = len(os.listdir(d))
-        shutil.rmtree(d)
+        if png_dir is None:
+            png_dir = d
+        else:
+            shutil.rmtree(d)
         print(f"overlap={overlap}: {n_samples} samples + {n_png} PNG writes "
               f"in {dt:.2f}s = {n_samples / dt:.2f} img/s")
+
+    # FID scoring pass over the written PNGs (random Inception weights —
+    # throughput is weight-independent): sequential vs threaded-decode +
+    # one-deep device overlap.
+    from panopticdiffusionmodels_tpu.evaluation.fid import dir_statistics
+    from panopticdiffusionmodels_tpu.evaluation.inception import (
+        make_extractor,
+        random_params,
+    )
+
+    extractor = make_extractor(random_params(0))
+    dir_statistics(png_dir, extractor, batch_size=50, workers=0)  # warm compile
+    for workers in (0, 8):
+        t0 = time.perf_counter()
+        dir_statistics(png_dir, extractor, batch_size=50, workers=workers)
+        dt = time.perf_counter() - t0
+        print(f"fid stats workers={workers}: {n_samples} PNGs in {dt:.2f}s "
+              f"= {n_samples / dt:.1f} img/s")
+    shutil.rmtree(png_dir)
 
 
 if __name__ == "__main__":

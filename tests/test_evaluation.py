@@ -146,6 +146,31 @@ def test_sample2dir_overlap_equivalent(tmp_path):
     assert all(outs[False][1][k] == outs[True][1][k] for k in outs[False][1])
 
 
+def test_dir_statistics_threaded_equivalent(tmp_path):
+    """Threaded decode + one-deep device overlap (workers>0, the default)
+    must produce the same statistics as the sequential path."""
+    from PIL import Image
+
+    from panopticdiffusionmodels_tpu.evaluation.fid import dir_statistics
+
+    rng = np.random.default_rng(3)
+    for i in range(11):
+        arr = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+        Image.fromarray(arr).save(tmp_path / f"{i}.png")
+
+    calls = []
+
+    def extractor(batch01):
+        calls.append(batch01.shape[0])
+        return batch01.reshape(batch01.shape[0], -1)[:, :32]
+
+    mu0, s0 = dir_statistics(str(tmp_path), extractor, batch_size=4, workers=0)
+    mu1, s1 = dir_statistics(str(tmp_path), extractor, batch_size=4, workers=4)
+    assert calls == [4, 4, 3, 4, 4, 3]
+    np.testing.assert_array_equal(mu0, mu1)
+    np.testing.assert_array_equal(s0, s1)
+
+
 def test_frechet_distance_singular_covariance_no_nan():
     """Rank-deficient covariances must trigger the eps-offset retry
     (reference tools/fid_score.py:60-67) and return a finite distance."""
