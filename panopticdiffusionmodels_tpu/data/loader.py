@@ -74,17 +74,30 @@ class Loader:
             yield from self.epoch()
 
 
-def prefetch_to_device(iterator, sharding, size: int = 2) -> Iterator[Any]:
+def prefetch_to_device(iterator, sharding, size: int = 2,
+                       cast_f32=None) -> Iterator[Any]:
     """Move batches onto the mesh `size` steps ahead of consumption.
 
     Uses a background thread so host collation overlaps device compute; each
     yielded batch is already a sharded global jax.Array.
+
+    `cast_f32`: optional dtype (e.g. ml_dtypes.bfloat16) to cast float32
+    fields to ON HOST before the transfer — halves host->device bytes for a
+    bf16-compute model, whose first op would cast them anyway.  Integer
+    fields (labels, panoptic ids) are never touched.
     """
     q: "queue.Queue" = queue.Queue(maxsize=size)
     stop = threading.Event()
 
     def put(batch):
-        return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+        def one(x):
+            import numpy as np
+
+            if cast_f32 is not None and getattr(x, "dtype", None) == np.float32:
+                x = np.asarray(x).astype(cast_f32)
+            return jax.device_put(x, sharding)
+
+        return jax.tree.map(one, batch)
 
     def worker():
         try:

@@ -511,16 +511,26 @@ class Trainer:
     # --- main loop ----------------------------------------------------------
 
     def data_stream(self):
+        # Opt-in host->device transfer compression (train.transfer_dtype =
+        # "bfloat16"): float32 batch fields are cast on host before the copy.
+        # For a bf16-compute model the first layer casts them anyway, so the
+        # step is numerically identical while moving half the bytes — relevant
+        # when the interconnect to the chip, not the loader, limits the feed.
+        cast = None
+        if self.config.train.get("transfer_dtype", "") == "bfloat16":
+            import ml_dtypes
+
+            cast = ml_dtypes.bfloat16
         native = self._native_stream()
         if native is not None:
-            return prefetch_to_device(native, self.batch_sharding)
+            return prefetch_to_device(native, self.batch_sharding, cast_f32=cast)
         loader = Loader(
             self.dataset.get_split("train", labeled=True),
             batch_size=self.config.train.batch_size,
             num_workers=self.config.get("num_workers", 8),
             seed=self.config.seed + jax.process_index(),
         )
-        return prefetch_to_device(iter(loader), self.batch_sharding)
+        return prefetch_to_device(iter(loader), self.batch_sharding, cast_f32=cast)
 
     def _native_stream(self):
         """C++ fastloader path for MS-COCO feature dirs (native/fastloader.cpp);
@@ -594,11 +604,18 @@ class Trainer:
         eval_interval = config.train.get("eval_interval", 0)
         metrics_hist = []
         t0 = time.time()
-        while int(self.state.step) < n_steps:
+        # Track the step on host: state.step is a DEVICE array, and int() on it
+        # would force a device->host sync EVERY step (the dispatch round-trip
+        # alone is ~28 ms on tunnel backends).  apply_gradients advances the
+        # device counter by exactly 1 per _train_step, so the host mirror stays
+        # exact; the periodic metrics fetch below still bounds the number of
+        # in-flight dispatched steps to log_interval.
+        step = int(self.state.step)  # one sync after resume
+        while step < n_steps:
             batch = next(stream)
-            step_key = jax.random.fold_in(self.rng, int(self.state.step) + 1)
+            step_key = jax.random.fold_in(self.rng, step + 1)
             self.state, metrics = self._train_step(self.state, batch, step_key)
-            step = int(self.state.step)
+            step += 1
             if step % log_interval == 0:
                 m = {k: float(v) for k, v in metrics.items()}
                 m["step"] = step
@@ -612,6 +629,8 @@ class Trainer:
             if vis_callback is not None and eval_interval and step % eval_interval == 0:
                 vis_callback(self, step)
             if save_interval and step % save_interval == 0:
+                # Saves sync anyway; cheap spot to prove the host mirror exact.
+                assert int(self.state.step) == step, (int(self.state.step), step)
                 if eval_callback is not None:
                     # The callback owns checkpoint retention (e.g. best-FID
                     # gating, reference `train.py:182-196`).

@@ -82,6 +82,15 @@ def build_config(policy: str, batch: int):
     return config
 
 
+def apply_env_overrides(config):
+    # BENCH_TRANSFER=bfloat16 -> cast f32 batch fields on host before the
+    # host->device copy (train.transfer_dtype).
+    td = os.environ.get("BENCH_TRANSFER", "")
+    if td:
+        config.train.transfer_dtype = td
+    return config
+
+
 def run(policy: str, batch: int, steps: int = 8):
     import tempfile
 
@@ -89,7 +98,7 @@ def run(policy: str, batch: int, steps: int = 8):
 
     from panopticdiffusionmodels_tpu.train.trainer import Trainer
 
-    config = build_config(policy, batch)
+    config = apply_env_overrides(build_config(policy, batch))
     with tempfile.TemporaryDirectory() as wd:
         trainer = Trainer(config, wd)
         stream = trainer.data_stream()
@@ -109,6 +118,18 @@ def run(policy: str, batch: int, steps: int = 8):
         best = min(times)
         print(f"policy={policy or '(default)':14s} batch={batch}  "
               f"{best * 1e3:7.1f} ms/step  {batch / best:7.1f} img/s  loss={loss:.4f}")
+        if os.environ.get("BENCH_FIT", ""):
+            # The REAL training loop (Trainer.fit): host-tracked step counter,
+            # so the only per-step host work is data feed + dispatch; metrics
+            # sync every log_interval.  Reports the best logged window.
+            # (trainer.state was donated into the warmup steps above — hand
+            # the live state back before entering fit.)
+            trainer.state = state
+            trainer.config.train.log_interval = 10
+            hist = trainer.fit(max_steps=int(state.step) + 41)
+            rates = [m["images_per_sec"] for m in hist[1:]]  # skip compile window
+            print(f"fit loop: best window {max(rates):7.1f} img/s "
+                  f"(windows: {[round(r, 1) for r in rates]})")
 
 
 def main():

@@ -33,6 +33,22 @@ def test_fit_smoke(tiny_trainer):
         assert np.isfinite(m["loss"]) and np.isfinite(m["loss_mask"])
 
 
+def test_fit_with_bf16_transfer(tmp_path):
+    """train.transfer_dtype='bfloat16' casts f32 batch fields on host before
+    the device copy; training must run and int fields stay untouched."""
+    config = get_config("synthetic_tiny")
+    config.train.transfer_dtype = "bfloat16"
+    trainer = Trainer(config, str(tmp_path))
+    batch = next(trainer.data_stream())
+    import jax.numpy as jnp
+
+    assert batch[0].dtype == jnp.bfloat16  # moments
+    assert batch[1].dtype == jnp.bfloat16  # context
+    assert jnp.issubdtype(batch[2].dtype, jnp.integer)  # panoptic ids
+    metrics = trainer.fit(max_steps=4)
+    assert all(np.isfinite(m["loss"]) for m in metrics)
+
+
 def test_loss_decreases_on_tiny_overfit(tmp_path):
     config = get_config("synthetic_tiny")
     config.dataset.n = 16
