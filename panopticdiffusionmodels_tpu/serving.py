@@ -244,6 +244,30 @@ class GenerationPipeline:
             self._clip = FrozenCLIPEmbedder()
         return self._clip.encode(list(prompts))
 
+    def _prep_cond(self, prompts, contexts, labels, n):
+        """-> (cond array or None, batch size)."""
+        if prompts is not None:
+            contexts = self.encode_prompts(prompts)
+        if contexts is not None:
+            cond = jnp.asarray(contexts)
+            return cond, cond.shape[0]
+        if labels is not None:
+            cond = jnp.asarray(np.asarray(labels, np.int32))
+            return cond, cond.shape[0]
+        assert n is not None, "need prompts, contexts, labels or n"
+        return None, n
+
+    def _postprocess(self, out):
+        """Device outputs -> numpy [0,1] images (+ integer panoptic-id maps)."""
+        if self.panoptic:
+            images, pred_mask = out
+            ids = np.asarray(analog_to_ints(pred_mask,
+                                            n=self.config.nnet.mask_bits))
+            images01 = np.clip((np.asarray(images, np.float32) + 1) / 2, 0, 1)
+            return images01, ids
+        images01 = np.clip((np.asarray(out, np.float32) + 1) / 2, 0, 1)
+        return images01
+
     def generate(
         self,
         prompts: Optional[Sequence[str]] = None,
@@ -256,25 +280,35 @@ class GenerationPipeline:
         """Returns images in [0,1] NHWC (numpy), plus integer panoptic-id maps
         for panoptic models: (images, mask_ids)."""
         steps = steps or self.config.sample.sample_steps
-        if prompts is not None:
-            contexts = self.encode_prompts(prompts)
-        if contexts is not None:
-            cond = jnp.asarray(contexts)
-            n = cond.shape[0]
-        elif labels is not None:
-            cond = jnp.asarray(np.asarray(labels, np.int32))
-            n = cond.shape[0]
-        else:
-            assert n is not None, "need prompts, contexts, labels or n"
-            cond = None
+        cond, n = self._prep_cond(prompts, contexts, labels, n)
         fn = self._pipeline(n, steps)
         key = jax.random.PRNGKey(seed)
         out = fn(self.params, self.vae_params, key, cond)
-        if self.panoptic:
-            images, pred_mask = out
-            ids = np.asarray(analog_to_ints(pred_mask,
-                                            n=self.config.nnet.mask_bits))
-            images01 = np.clip((np.asarray(images, np.float32) + 1) / 2, 0, 1)
-            return images01, ids
-        images01 = np.clip((np.asarray(out, np.float32) + 1) / 2, 0, 1)
-        return images01
+        return self._postprocess(out)
+
+    def generate_batches(self, batches, steps: Optional[int] = None,
+                         seed: int = 0):
+        """Bulk generation with dispatch one batch deep.
+
+        `batches`: iterable of dicts with generate()'s conditioning keys
+        (prompts= / contexts= / labels= / n=).  Yields one generate()-shaped
+        result per input batch, in order — but batch i+1 is already running
+        on device while batch i's outputs are fetched, decoded from analog
+        bits and converted on host (jax async dispatch), so bulk throughput
+        approaches the raw pipeline rate instead of alternating device/host.
+        Reuses one compiled program per distinct (batch size, steps)."""
+        steps = steps or self.config.sample.sample_steps
+        base = jax.random.PRNGKey(seed)
+        pending = None
+        for i, kw in enumerate(batches):
+            cond, n = self._prep_cond(
+                kw.get("prompts"), kw.get("contexts"), kw.get("labels"),
+                kw.get("n"),
+            )
+            fn = self._pipeline(n, steps)
+            out = fn(self.params, self.vae_params, jax.random.fold_in(base, i), cond)
+            if pending is not None:
+                yield self._postprocess(pending)
+            pending = out
+        if pending is not None:
+            yield self._postprocess(pending)
