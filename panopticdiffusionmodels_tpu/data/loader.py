@@ -82,17 +82,20 @@ def prefetch_to_device(iterator, sharding, size: int = 2,
     yielded batch is already a sharded global jax.Array.
 
     `cast_f32`: optional dtype (e.g. ml_dtypes.bfloat16) to cast float32
-    fields to ON HOST before the transfer — halves host->device bytes for a
-    bf16-compute model, whose first op would cast them anyway.  Integer
+    fields to ON HOST before the transfer — halves host->device bytes.
+    Fields the bf16-compute model consumes directly (e.g. CLIP context) are
+    bit-identical to casting on device; fields that feed f32 math first
+    (e.g. VAE moments before the reparameterized sample) are rounded to bf16
+    precision, comparable to the reference's fp16-autocast feed.  Integer
     fields (labels, panoptic ids) are never touched.
     """
+    import numpy as np
+
     q: "queue.Queue" = queue.Queue(maxsize=size)
     stop = threading.Event()
 
     def put(batch):
         def one(x):
-            import numpy as np
-
             if cast_f32 is not None and getattr(x, "dtype", None) == np.float32:
                 x = np.asarray(x).astype(cast_f32)
             return jax.device_put(x, sharding)

@@ -117,6 +117,8 @@ def dir_statistics(
         n for n in os.listdir(path)
         if n.lower().endswith((".png", ".jpg", ".jpeg"))
     )
+    if not names:
+        raise ValueError(f"dir_statistics: no images found in {path!r}")
 
     def load(n):
         img = np.asarray(Image.open(os.path.join(path, n)).convert("RGB"))
@@ -130,16 +132,12 @@ def dir_statistics(
     else:
         from concurrent.futures import ThreadPoolExecutor
 
+        from ..utils import one_deep
+
         with ThreadPoolExecutor(workers) as ex:
-            pending = None
-            for chunk in chunks:
-                imgs = np.stack(list(ex.map(load, chunk)))
-                out = extractor(imgs)  # async dispatch; don't sync yet
-                if pending is not None:
-                    feats.append(np.asarray(pending))
-                pending = out
-            if pending is not None:
-                feats.append(np.asarray(pending))
+            dispatch = lambda chunk: extractor(np.stack(list(ex.map(load, chunk))))
+            for _, out in one_deep(chunks, dispatch):
+                feats.append(np.asarray(out))
     return compute_statistics(np.concatenate(feats, axis=0))
 
 

@@ -18,7 +18,7 @@ import jax
 import numpy as np
 
 from ..diffusion.analog_bits import bits2int
-from ..utils import amortize
+from ..utils import amortize, one_deep
 from .mask_metrics import color_map, eval_mask_cnt, get_colormap
 
 
@@ -93,8 +93,7 @@ def sample2dir(
         if unpreprocess_fn is not None:
             samples = unpreprocess_fn(samples)
         if not is_main:
-            state["idx"] += len(samples)
-            return
+            return  # idx feeds only the rank-0 filename scheme below
         if use_panoptic:
             ids = np.asarray(bits2int(np.asarray(pred_mask) > 0, n=mask_bits))
             if panoptic is not None:
@@ -112,17 +111,13 @@ def sample2dir(
                 )
             state["idx"] += 1
 
-    pending = None
-    for _batch_size in amortize(n_samples, batch_size):
-        out = sample_fn(batch_size)
-        if pending is not None:
-            process(*pending)
-        if overlap:
-            pending = (out, _batch_size)
-        else:
+    sizes = amortize(n_samples, batch_size)
+    if overlap:
+        for _batch_size, out in one_deep(sizes, lambda _: sample_fn(batch_size)):
             process(out, _batch_size)
-    if pending is not None:
-        process(*pending)
+    else:
+        for _batch_size in sizes:
+            process(sample_fn(batch_size), _batch_size)
     metrics = {}
     if use_panoptic and loss_mask_all:
         metrics["eval_loss_mask"] = float(np.mean(loss_mask_all))

@@ -296,19 +296,25 @@ class GenerationPipeline:
         on device while batch i's outputs are fetched, decoded from analog
         bits and converted on host (jax async dispatch), so bulk throughput
         approaches the raw pipeline rate instead of alternating device/host.
-        Reuses one compiled program per distinct (batch size, steps)."""
+        Reuses one compiled program per distinct (batch size, steps).
+
+        Determinism: batch i samples with fold_in(PRNGKey(seed), i), so runs
+        are reproducible in (seed, batch index) — but batch 0 is intentionally
+        NOT the same draw as generate(seed=seed), which uses PRNGKey(seed)
+        directly."""
+        from .utils import one_deep
+
         steps = steps or self.config.sample.sample_steps
         base = jax.random.PRNGKey(seed)
-        pending = None
-        for i, kw in enumerate(batches):
+
+        def dispatch(ikw):
+            i, kw = ikw
             cond, n = self._prep_cond(
                 kw.get("prompts"), kw.get("contexts"), kw.get("labels"),
                 kw.get("n"),
             )
             fn = self._pipeline(n, steps)
-            out = fn(self.params, self.vae_params, jax.random.fold_in(base, i), cond)
-            if pending is not None:
-                yield self._postprocess(pending)
-            pending = out
-        if pending is not None:
-            yield self._postprocess(pending)
+            return fn(self.params, self.vae_params, jax.random.fold_in(base, i), cond)
+
+        for _, out in one_deep(enumerate(batches), dispatch):
+            yield self._postprocess(out)

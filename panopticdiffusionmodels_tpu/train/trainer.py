@@ -512,10 +512,12 @@ class Trainer:
 
     def data_stream(self):
         # Opt-in host->device transfer compression (train.transfer_dtype =
-        # "bfloat16"): float32 batch fields are cast on host before the copy.
-        # For a bf16-compute model the first layer casts them anyway, so the
-        # step is numerically identical while moving half the bytes — relevant
-        # when the interconnect to the chip, not the loader, limits the feed.
+        # "bfloat16"): float32 batch fields are cast on host before the copy,
+        # halving the bytes when the link to the chip, not the loader, limits
+        # the feed.  Context-like fields the bf16 model consumes directly are
+        # bit-identical to the f32 feed; moments are rounded to bf16 BEFORE
+        # the f32 reparameterized sample (precision comparable to the
+        # reference's fp16-autocast input path, but not identical to f32).
         cast = None
         if self.config.train.get("transfer_dtype", "") == "bfloat16":
             import ml_dtypes
@@ -608,14 +610,23 @@ class Trainer:
         # would force a device->host sync EVERY step (the dispatch round-trip
         # alone is ~28 ms on tunnel backends).  apply_gradients advances the
         # device counter by exactly 1 per _train_step, so the host mirror stays
-        # exact; the periodic metrics fetch below still bounds the number of
-        # in-flight dispatched steps to log_interval.
+        # exact.  `inflight` bounds how far dispatch runs ahead independent of
+        # log_interval: each queued step holds its h2d batch alive on device,
+        # so an unbounded queue would accumulate log_interval batches of HBM.
+        # Fetching a finished step's scalar overlaps with the steps after it.
+        from collections import deque
+
+        inflight: "deque" = deque()
+        max_inflight = int(config.train.get("max_inflight_steps", 8))
         step = int(self.state.step)  # one sync after resume
         while step < n_steps:
             batch = next(stream)
             step_key = jax.random.fold_in(self.rng, step + 1)
             self.state, metrics = self._train_step(self.state, batch, step_key)
             step += 1
+            inflight.append(metrics["loss"])
+            if len(inflight) > max_inflight:
+                float(inflight.popleft())  # wait for step (step - max_inflight)
             if step % log_interval == 0:
                 m = {k: float(v) for k, v in metrics.items()}
                 m["step"] = step
