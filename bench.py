@@ -55,6 +55,9 @@ def build_components():
         img_size=32, patch_size=2, in_chans=4, embed_dim=1024, depth=20,
         num_heads=16, num_classes=1001, dtype=jnp.bfloat16, scan_blocks=True,
         attn_impl="infer",  # packed-qkv Pallas kernel on the sampling hot path
+        # BENCH_GELU=tanh: opt-in tanh GELU (headline default stays the
+        # reference's exact erf; see BENCH.md op ablation)
+        gelu_approx=os.environ.get("BENCH_GELU", "") == "tanh",
     )
     params = jax.jit(model.init)(
         jax.random.PRNGKey(0),

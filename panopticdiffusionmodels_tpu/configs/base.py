@@ -64,13 +64,17 @@ def autoencoder_block(pretrained_path="assets/stable-diffusion/autoencoder_kl.pt
 
 def uvit(img_size, patch_size, embed_dim, depth, num_heads, in_chans=3,
          num_classes=-1, mlp_ratio=4, qkv_bias=False, mlp_time_embed=False,
-         use_checkpoint=False, conv=True, scan_blocks=False, remat_policy=""):
+         use_checkpoint=False, conv=True, scan_blocks=False, remat_policy="",
+         gelu_approx=False):
     # remat_policy: checkpoint policy when use_checkpoint=True ("" = recompute
     # everything; "dots_no_batch" keeps MXU outputs — see
     # models/scan_stack.resolve_remat_policy).
+    # gelu_approx: opt-in tanh GELU (reference uses exact erf) — ~13% faster
+    # forward, different math; see models/layers.Mlp and BENCH.md.
     return d(
         name="uvit",
         remat_policy=remat_policy,
+        gelu_approx=gelu_approx,
         img_size=img_size,
         patch_size=patch_size,
         in_chans=in_chans,
@@ -91,10 +95,12 @@ def uvit_t2i(img_size, patch_size, embed_dim, depth, num_heads, in_chans=4,
              mlp_ratio=4, qkv_bias=False, mlp_time_embed=False, clip_dim=768,
              num_clip_token=77, enable_panoptic=True, separate=True,
              use_ground_truth=False, mask_bits=8, mask_size=None,
-             use_checkpoint=False, conv=True, scan_blocks=False, remat_policy=""):
+             use_checkpoint=False, conv=True, scan_blocks=False, remat_policy="",
+             gelu_approx=False):
     return d(
         name="uvit_t2i",
         remat_policy=remat_policy,
+        gelu_approx=gelu_approx,
         img_size=img_size,
         patch_size=patch_size,
         in_chans=in_chans,

@@ -71,6 +71,7 @@ class _BlockBody(nn.Module):
     emit_skip: bool = False
     dtype: Dtype = jnp.float32
     attn_impl: str = "auto"
+    gelu_approx: bool = False
 
     @nn.compact
     def __call__(self, x, skip):
@@ -82,6 +83,7 @@ class _BlockBody(nn.Module):
             skip=self.skip,
             dtype=self.dtype,
             attn_impl=self.attn_impl,
+            gelu_approx=self.gelu_approx,
             name="block",
         )(x, skip)
         return x, (x if self.emit_skip else None)
@@ -132,6 +134,7 @@ class _DualBody(nn.Module):
     emit_skip: bool = False
     dtype: Dtype = jnp.float32
     attn_impl: str = "auto"
+    gelu_approx: bool = False
 
     @nn.compact
     def __call__(self, carry, skips):
@@ -148,6 +151,7 @@ class _DualBody(nn.Module):
                 skip=skip_on,
                 dtype=self.dtype,
                 attn_impl=self.attn_impl,
+                gelu_approx=self.gelu_approx,
                 name=name,
             )
 

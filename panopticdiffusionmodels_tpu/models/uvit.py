@@ -65,6 +65,9 @@ class UViT(nn.Module):
     remat_policy: Optional[str] = None
     dtype: Dtype = jnp.float32
     attn_impl: str = "auto"
+    # Opt-in tanh GELU (reference uses exact erf): ~13% faster forward,
+    # different math — see layers.Mlp docstring and BENCH.md op ablation.
+    gelu_approx: bool = False
 
     @property
     def extras(self) -> int:
@@ -124,6 +127,7 @@ class UViT(nn.Module):
                 skip=skip,
                 dtype=self.dtype,
                 attn_impl=self.attn_impl,
+                gelu_approx=self.gelu_approx,
                 name=name,
             )
 
@@ -137,6 +141,7 @@ class UViT(nn.Module):
                 qk_scale=self.qk_scale,
                 dtype=self.dtype,
                 attn_impl=self.attn_impl,
+                gelu_approx=self.gelu_approx,
             )
             x, skips = in_stack(
                 x, length=self.depth // 2, remat=self.use_checkpoint,

@@ -99,6 +99,8 @@ class UViTT2I(nn.Module):
     remat_policy: Optional[str] = None
     dtype: Dtype = jnp.float32
     attn_impl: str = "auto"
+    # Opt-in tanh GELU (reference uses exact erf) — see layers.Mlp docstring.
+    gelu_approx: bool = False
 
     @property
     def extras(self) -> int:
@@ -202,6 +204,7 @@ class UViTT2I(nn.Module):
                 skip=skip,
                 dtype=self.dtype,
                 attn_impl=self.attn_impl,
+                gelu_approx=self.gelu_approx,
                 name=name,
             )
 
@@ -228,6 +231,7 @@ class UViTT2I(nn.Module):
                 qk_scale=self.qk_scale,
                 dtype=self.dtype,
                 attn_impl=self.attn_impl,
+                gelu_approx=self.gelu_approx,
             )
             half = self.depth // 2
             if dual:

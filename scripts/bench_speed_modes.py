@@ -12,7 +12,7 @@ guidance protocol (arXiv:2404.07724 reports it IMPROVES FID); its deviation is
 reported only to show the output stays in-distribution, not as an error bar.
 
 Usage: python scripts/bench_speed_modes.py [accel=<tau>] [interval=<lo>,<hi>]
-       [combo=<tau>:<lo>,<hi>] ...
+       [combo=<tau>:<lo>,<hi>] [gelu=tanh] [full=<tau>:<lo>,<hi>] ...
 Defaults: accel=0.2 accel=0.3 interval=0.0,0.5 combo=0.2:0.0,0.5
 (combo=0.2:0.0,0.5 is the recommended speed mode in BENCH.md.)
 One TPU process at a time (CLAUDE.md).
@@ -33,11 +33,12 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def run_mode(batch, accel, interval):
+def run_mode(batch, accel, interval, gelu=""):
     os.environ["BENCH_ACCEL"] = str(accel)
     os.environ["BENCH_CFG_INTERVAL"] = (
         ",".join(str(v) for v in interval) if interval else ""
     )
+    os.environ["BENCH_GELU"] = gelu
     import bench
 
     pipeline, params, vae_params = bench.build_pipeline(batch)
@@ -77,6 +78,12 @@ def main():
         elif kind == "combo":  # combo=<tau>:<lo>,<hi> — both modes together
             tau, _, iv = val.partition(":")
             ips, img = run_mode(batch, float(tau), tuple(float(v) for v in iv.split(",")))
+        elif kind == "gelu":  # gelu=tanh — tanh GELU alone (nnet.gelu_approx)
+            ips, img = run_mode(batch, 0.0, None, gelu=val)
+        elif kind == "full":  # full=<tau>:<lo>,<hi> — tanh GELU + accel + interval
+            tau, _, iv = val.partition(":")
+            ips, img = run_mode(batch, float(tau),
+                                tuple(float(v) for v in iv.split(",")), gelu="tanh")
         else:
             raise SystemExit(f"unknown mode {mode}")
         rel = float(np.linalg.norm(img - base_img)) / base_norm

@@ -68,6 +68,27 @@ def test_uvit_class_cond_forward(rng):
     assert not np.allclose(np.asarray(out), np.asarray(out2))
 
 
+def test_uvit_gelu_approx(rng):
+    """gelu_approx=True (tanh) must share the parameter tree with the exact
+    erf model and produce close-but-not-identical outputs (|gelu error| <=
+    3e-4 per activation; the knob changes math, not shapes)."""
+    x = jax.random.normal(rng, (2, 8, 8, 3))
+    t = jnp.array([10.0, 500.0])
+    m_erf = _tiny_uvit()
+    m_tanh = _tiny_uvit(gelu_approx=True)
+    params = m_erf.init(rng, x, t)
+    o_erf = np.asarray(m_erf.apply(params, x, t), np.float32)
+    o_tanh = np.asarray(m_tanh.apply(params, x, t), np.float32)
+    assert not np.array_equal(o_erf, o_tanh)
+    rel = np.linalg.norm(o_erf - o_tanh) / np.linalg.norm(o_erf)
+    assert rel < 5e-3, rel
+    # scanned stack honors the knob too
+    m_scan = _tiny_uvit(gelu_approx=True, scan_blocks=True)
+    params_s = m_scan.init(rng, x, t)
+    out_s = m_scan.apply(params_s, x, t)
+    assert bool(jnp.all(jnp.isfinite(out_s)))
+
+
 def test_uvit_no_conv_head(rng):
     model = _tiny_uvit(conv=False)
     x = jax.random.normal(rng, (1, 8, 8, 3))
