@@ -29,7 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def build(batch, accel, interval):
+def build(batch, accel, interval, gelu=False):
     from panopticdiffusionmodels_tpu.diffusion import (
         Schedule,
         stable_diffusion_beta_schedule,
@@ -43,7 +43,7 @@ def build(batch, accel, interval):
         img_size=32, patch_size=2, in_chans=4, embed_dim=512, depth=12,
         num_heads=8, clip_dim=768, num_clip_token=77, mask_bits=8, mask_size=64,
         enable_panoptic=True, separate=True, dtype=jnp.bfloat16,
-        scan_blocks=True, attn_impl="infer",
+        scan_blocks=True, attn_impl="infer", gelu_approx=gelu,
     )
     x0 = jnp.zeros((1, 32, 32, 4))
     ctx0 = jnp.zeros((1, 77, 768))
@@ -86,8 +86,8 @@ def build(batch, accel, interval):
     return pipeline, params, vae_params
 
 
-def run_mode(batch, accel, interval):
-    pipeline, params, vae_params = build(batch, accel, interval)
+def run_mode(batch, accel, interval, gelu=False):
+    pipeline, params, vae_params = build(batch, accel, interval, gelu)
     key = jax.random.PRNGKey(7)
     ctx = jnp.zeros((batch, 77, 768))
 
@@ -124,6 +124,13 @@ def main():
             tau, _, iv = val.partition(":")
             ips, img, pm = run_mode(batch, float(tau),
                                     tuple(float(v) for v in iv.split(",")))
+        elif kind == "gelu":  # gelu=tanh (nnet.gelu_approx)
+            ips, img, pm = run_mode(batch, 0.0, None, gelu=True)
+        elif kind == "full":  # full=<tau>:<lo>,<hi> — tanh GELU + accel + interval
+            tau, _, iv = val.partition(":")
+            ips, img, pm = run_mode(batch, float(tau),
+                                    tuple(float(v) for v in iv.split(",")),
+                                    gelu=True)
         else:
             raise SystemExit(f"unknown mode {mode}")
         rel_img = float(np.linalg.norm(img - img0)) / float(np.linalg.norm(img0))

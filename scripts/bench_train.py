@@ -88,6 +88,10 @@ def apply_env_overrides(config):
     td = os.environ.get("BENCH_TRANSFER", "")
     if td:
         config.train.transfer_dtype = td
+    # BENCH_GELU=tanh -> nnet.gelu_approx (a legitimate architecture choice
+    # for from-scratch training; erf remains the reference-parity default).
+    if os.environ.get("BENCH_GELU", "") == "tanh":
+        config.nnet.gelu_approx = True
     return config
 
 
