@@ -86,6 +86,7 @@ def main():
         embed_dim=proto["embed_dim"], depth=proto["depth"],
         num_heads=proto["num_heads"], num_classes=1001, dtype=jnp.bfloat16,
         scan_blocks=True, attn_impl="infer",
+        gelu_approx=os.environ.get("BENCH_GELU", "") == "tanh",
     )
     s = proto["img_size"]
     params = jax.jit(model.init)(
