@@ -103,10 +103,22 @@ def attention_qkv(qkv, heads: int, *, scale: Optional[float] = None,
     if scale is None:
         scale = d ** -0.5
     on_tpu = jax.default_backend() == "tpu"
-    if impl == "auto" and on_tpu:
+    # The kernel holds one (L, 3C) slice + an f32 score block in VMEM (whole
+    # (L, L) for short sequences, q-chunked (Q_CHUNK, L) beyond MAX_FULL_SEQ,
+    # e.g. the 512-res panoptic dual stream at ~2126 tokens).  When even the
+    # chunked working set exceeds VMEM, 'auto'/'infer' fall back to XLA
+    # instead of raising.  Explicit impl='pallas' still raises — the caller
+    # asked for the kernel specifically.
+    from .pallas.fused_qkv_attention import kernel_supported
+
+    fits = kernel_supported(qkv.shape[1], qkv.shape[2], qkv.dtype.itemsize,
+                            heads)
+    if impl == "auto" and on_tpu and fits:
         return _qkv_attn_trainable(qkv, heads, scale, False)
+    if impl == "auto":
+        impl = "xla"
     if impl == "infer":
-        impl = "pallas" if on_tpu else "xla"
+        impl = "pallas" if (on_tpu and fits) else "xla"
     if impl == "pallas":
         from .pallas.fused_qkv_attention import fused_attention_qkv
 

@@ -31,6 +31,35 @@ from jax.experimental.pallas import tpu as pltpu
 
 # One (L, 3C) slice + one f32 (L, L) score block must fit VMEM.
 MAX_FULL_SEQ = 1024
+# Beyond MAX_FULL_SEQ a per-(batch, head) grid is used instead: each step
+# holds three (L, head_dim) views of the packed input plus a (Q_CHUNK, L)
+# f32 score block, so the working set stays small for any head count.
+Q_CHUNK = 256
+VMEM_BUDGET_BYTES = 12 * 1024 * 1024
+
+
+def _head_group(heads: int, d: int):
+    """Smallest head-group size g (dividing heads) whose block width g*d is
+    lane-aligned (multiple of 128) — the Pallas TPU block-shape requirement.
+    None when no such g exists."""
+    for g in range(1, heads + 1):
+        if heads % g == 0 and (g * d) % 128 == 0:
+            return g
+    return None
+
+
+def kernel_supported(l: int, c3: int, itemsize: int = 2, heads: int = 8) -> bool:
+    """Can the kernel hold one grid step's working set in VMEM?
+    (x2 for pallas's input/output double buffering across grid steps.)"""
+    if l <= MAX_FULL_SEQ:
+        return True
+    d = c3 // 3 // heads
+    g = _head_group(heads, d)
+    if g is None:
+        return False
+    per_step = 4 * l * g * d * itemsize  # q, k, v views + output block
+    scores = Q_CHUNK * l * 4 * 2  # f32 score block + exp intermediate
+    return 2 * per_step + scores <= VMEM_BUDGET_BYTES
 
 
 def _kernel(qkv_ref, o_ref, *, heads: int, c: int, scale: float):
@@ -56,6 +85,32 @@ def _kernel(qkv_ref, o_ref, *, heads: int, c: int, scale: float):
         o_ref[0, :, h * d:(h + 1) * d] = o.astype(o_ref.dtype)
 
 
+def _kernel_long(q_ref, k_ref, v_ref, o_ref, *, scale: float, l: int,
+                 g: int, d: int):
+    """One (batch, head-group) grid step: q/k/v are (1, L, g*d) views of the
+    SAME packed array (three BlockSpecs with different head-column index
+    maps; the group keeps the block width lane-aligned).  q is processed in
+    Q_CHUNK rows so the f32 score block is (chunk, L); softmax still sees
+    full rows — no online-softmax carry needed."""
+    for j in range(g):
+        k = k_ref[0, :, j * d:(j + 1) * d]
+        v = v_ref[0, :, j * d:(j + 1) * d]
+        for q0 in range(0, l, Q_CHUNK):
+            q1 = min(q0 + Q_CHUNK, l)
+            q = q_ref[0, q0:q1, j * d:(j + 1) * d]
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            ) * scale
+            m = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp(s - m)
+            p = p / jnp.sum(p, axis=-1, keepdims=True)
+            o = jax.lax.dot_general(
+                p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            o_ref[0, q0:q1, j * d:(j + 1) * d] = o.astype(o_ref.dtype)
+
+
 def fused_attention_qkv(qkv, heads: int, scale: float, *, interpret: bool = False):
     """softmax(Q K^T * scale) V from a packed (B, L, 3C) qkv tensor.
 
@@ -67,8 +122,45 @@ def fused_attention_qkv(qkv, heads: int, scale: float, *, interpret: bool = Fals
     assert c3 % 3 == 0
     c = c3 // 3
     assert c % heads == 0
+    if not interpret and not kernel_supported(l, c3, qkv.dtype.itemsize, heads):
+        raise ValueError(
+            f"fused_attention_qkv: (L={l}, 3C={c3}) working set exceeds VMEM"
+        )
+    d = c // heads
+    cost = pl.CostEstimate(
+        flops=4 * l * l * c,
+        bytes_accessed=(c3 + c) * l * qkv.dtype.itemsize,
+        transcendentals=heads * l * l,
+    )
+
     if l > MAX_FULL_SEQ:
-        raise ValueError(f"fused_attention_qkv: L={l} > {MAX_FULL_SEQ}")
+        # Per-(batch, head-group) grid; q/k/v are three views of the SAME
+        # packed array, selected by head-column index maps (columns blocked
+        # in units of the lane-aligned group width g*d: q block j, k block
+        # groups+j, v block 2*groups+j).
+        g = _head_group(heads, d)
+        if g is None and not interpret:
+            raise ValueError(
+                f"fused_attention_qkv: head_dim {d} cannot form a "
+                f"lane-aligned head group"
+            )
+        g = g or heads
+        groups = heads // g
+        kernel = functools.partial(_kernel_long, scale=scale, l=l, g=g, d=d)
+        head_spec = lambda off: pl.BlockSpec(
+            (1, l, g * d), lambda i, j, off=off: (i, 0, off + j),
+            memory_space=pltpu.VMEM,
+        )
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((b, l, c), qkv.dtype),
+            grid=(b, groups),
+            in_specs=[head_spec(0), head_spec(groups), head_spec(2 * groups)],
+            out_specs=pl.BlockSpec((1, l, g * d), lambda i, j: (i, 0, j),
+                                   memory_space=pltpu.VMEM),
+            cost_estimate=cost,
+            interpret=interpret,
+        )(qkv, qkv, qkv)
 
     kernel = functools.partial(_kernel, heads=heads, c=c, scale=scale)
     return pl.pallas_call(
@@ -80,10 +172,6 @@ def fused_attention_qkv(qkv, heads: int, scale: float, *, interpret: bool = Fals
         ],
         out_specs=pl.BlockSpec((1, l, c), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        cost_estimate=pl.CostEstimate(
-            flops=4 * l * l * c,
-            bytes_accessed=(c3 + c) * l * qkv.dtype.itemsize,
-            transcendentals=heads * l * l,
-        ),
+        cost_estimate=cost,
         interpret=interpret,
     )(qkv)

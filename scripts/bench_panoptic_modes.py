@@ -29,7 +29,15 @@ import jax.numpy as jnp
 import numpy as np
 
 
+GEOS = {
+    # img, patch, embed, depth, heads, mask_size (mscoco_uvit_small[_512])
+    "256": dict(img=32, patch=2, embed=512, depth=12, heads=8, mask=64),
+    "512": dict(img=64, patch=2, embed=512, depth=12, heads=8, mask=128),
+}
+
+
 def build(batch, accel, interval, gelu=False):
+    geo = GEOS[os.environ.get("BENCH_GEO", "256")]
     from panopticdiffusionmodels_tpu.diffusion import (
         Schedule,
         stable_diffusion_beta_schedule,
@@ -40,14 +48,15 @@ def build(batch, accel, interval, gelu=False):
     from panopticdiffusionmodels_tpu.samplers import DPMSolver, NoiseScheduleVP
 
     model = UViTT2I(
-        img_size=32, patch_size=2, in_chans=4, embed_dim=512, depth=12,
-        num_heads=8, clip_dim=768, num_clip_token=77, mask_bits=8, mask_size=64,
+        img_size=geo["img"], patch_size=geo["patch"], in_chans=4,
+        embed_dim=geo["embed"], depth=geo["depth"], num_heads=geo["heads"],
+        clip_dim=768, num_clip_token=77, mask_bits=8, mask_size=geo["mask"],
         enable_panoptic=True, separate=True, dtype=jnp.bfloat16,
         scan_blocks=True, attn_impl="infer", gelu_approx=gelu,
     )
-    x0 = jnp.zeros((1, 32, 32, 4))
+    x0 = jnp.zeros((1, geo["img"], geo["img"], 4))
     ctx0 = jnp.zeros((1, 77, 768))
-    m0 = jnp.zeros((1, 64, 64, 8))
+    m0 = jnp.zeros((1, geo["mask"], geo["mask"], 8))
     params = jax.jit(
         lambda k: model.init(k, x0, jnp.zeros((1,)), ctx0, mask_token=m0)
     )(jax.random.PRNGKey(0))
@@ -74,8 +83,8 @@ def build(batch, accel, interval, gelu=False):
             ns, predict_x0=True, accel_tau=accel, cfg_interval=interval,
         )
         k1, k2 = jax.random.split(key)
-        z = jax.random.normal(k1, (batch, 32, 32, 4))
-        m = jax.random.normal(k2, (batch, 64, 64, 8))
+        z = jax.random.normal(k1, (batch, geo["img"], geo["img"], 4))
+        m = jax.random.normal(k2, (batch, geo["mask"], geo["mask"], 8))
         z0, pred_mask = solver.sample(
             z, steps=50, eps=1.0 / 1000, T=1.0, order=3, method="fast",
             mask_token=m,

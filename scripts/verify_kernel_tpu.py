@@ -53,7 +53,8 @@ def main():
     # 2. kernel vs XLA numerics (bf16 inputs, f32 softmax both sides).
     for (b, l, heads, d) in [(32, 258, 16, 64), (8, 590, 8, 64),
                              (4, 130, 4, 32), (64, 258, 16, 64),
-                             (8, 258, 16, 72)]:  # H models: lane-unaligned head_dim
+                             (8, 258, 16, 72),   # H models: lane-unaligned head_dim
+                             (2, 2126, 8, 64)]:  # 512-panoptic: q-chunked path
         c = heads * d
         qkv = jax.random.normal(jax.random.PRNGKey(l), (b, l, 3 * c)) * 0.5
         qkv = qkv.astype(jnp.bfloat16)

@@ -53,13 +53,17 @@ def test_attention_qkv_matches_transpose_path(rng):
 
 def test_fused_qkv_kernel_interpret_parity(rng):
     """The Pallas packed-qkv kernel (interpret mode on CPU) == XLA path at the
-    flagship (L=258) and panoptic (L=590) sequence shapes."""
+    flagship (L=258) and panoptic (L=590) sequence shapes, plus a
+    beyond-MAX_FULL_SEQ length that exercises the q-chunked path (incl. a
+    ragged final chunk)."""
     from panopticdiffusionmodels_tpu.ops.attention import attention_qkv
     from panopticdiffusionmodels_tpu.ops.pallas.fused_qkv_attention import (
+        MAX_FULL_SEQ,
         fused_attention_qkv,
     )
 
-    for l, heads, d in [(258, 4, 32), (590, 2, 64), (65, 3, 8)]:
+    for l, heads, d in [(258, 4, 32), (590, 2, 64), (65, 3, 8),
+                        (MAX_FULL_SEQ + 70, 2, 16)]:
         c = heads * d
         k1 = jax.random.fold_in(rng, l)
         qkv = jax.random.normal(k1, (2, l, 3 * c), jnp.float32)
@@ -77,6 +81,28 @@ def test_infer_impl_resolves_off_tpu(rng):
     out = attention_qkv(qkv, 2, impl="infer")
     ref = attention_qkv(qkv, 2, impl="xla")
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+
+
+def test_oversized_sequence_falls_back_to_xla_on_tpu(rng, monkeypatch):
+    """Working sets beyond the kernel's VMEM budget must resolve
+    'infer'/'auto' to XLA instead of raising.  Simulate a TPU backend; if
+    dispatch wrongly picked the kernel, pallas would fail to compile on CPU."""
+    from panopticdiffusionmodels_tpu.ops import attention as att
+    from panopticdiffusionmodels_tpu.ops.pallas.fused_qkv_attention import (
+        kernel_supported,
+    )
+
+    # the 512-res panoptic dual stream fits the q-chunked kernel...
+    assert kernel_supported(2126, 3 * 512, 2)
+    # ...but a 4k-token full-width model does not
+    l, c = 4096, 1024
+    assert not kernel_supported(l, 3 * c, 4)
+    monkeypatch.setattr(att.jax, "default_backend", lambda: "tpu")
+    qkv = jax.random.normal(rng, (1, l, 3 * c), jnp.float32)
+    for impl in ("infer", "auto"):
+        out = att.attention_qkv(qkv, 16, impl=impl)
+        ref = att.attention_qkv(qkv, 16, impl="xla")
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
 
 
 def test_trainable_qkv_kernel_grad_matches_xla(rng):
