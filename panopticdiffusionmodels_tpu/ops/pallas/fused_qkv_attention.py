@@ -31,9 +31,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 # One (L, 3C) slice + one f32 (L, L) score block must fit VMEM.
 MAX_FULL_SEQ = 1024
-# Beyond MAX_FULL_SEQ a per-(batch, head) grid is used instead: each step
-# holds three (L, head_dim) views of the packed input plus a (Q_CHUNK, L)
-# f32 score block, so the working set stays small for any head count.
+# Beyond MAX_FULL_SEQ a per-(batch, head-group) grid is used instead: each
+# step holds three (L, g*d) views of the packed input (g = the smallest
+# lane-aligned head group) plus a (Q_CHUNK, L) f32 score block, so the
+# working set stays bounded for long sequences.
 Q_CHUNK = 256
 VMEM_BUDGET_BYTES = 12 * 1024 * 1024
 
@@ -52,7 +53,11 @@ def kernel_supported(l: int, c3: int, itemsize: int = 2, heads: int = 8) -> bool
     """Can the kernel hold one grid step's working set in VMEM?
     (x2 for pallas's input/output double buffering across grid steps.)"""
     if l <= MAX_FULL_SEQ:
-        return True
+        # whole-sequence path: (L, 3C) in + (L, C) out blocks, f32 (L, L)
+        # scores + exp intermediate
+        in_out = (c3 + c3 // 3) * l * itemsize
+        scores = l * l * 4 * 2
+        return 2 * in_out + scores <= VMEM_BUDGET_BYTES
     d = c3 // 3 // heads
     g = _head_group(heads, d)
     if g is None:
@@ -62,27 +67,32 @@ def kernel_supported(l: int, c3: int, itemsize: int = 2, heads: int = 8) -> bool
     return 2 * per_step + scores <= VMEM_BUDGET_BYTES
 
 
+def _attend(q, k, v, scale: float, out_dtype):
+    """softmax(q k^T * scale) v for one head's (rows, d) blocks — shared by
+    both kernels.  Feed the MXU native bf16 inputs with f32 ACCUMULATION —
+    upcasting the operands to f32 first would drop the matmuls to f32 MXU
+    throughput (4x slower).  Softmax stays in f32 for stability; the
+    probabilities go back to the input dtype for the PV matmul."""
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    p = p / jnp.sum(p, axis=-1, keepdims=True)
+    o = jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    return o.astype(out_dtype)
+
+
 def _kernel(qkv_ref, o_ref, *, heads: int, c: int, scale: float):
     d = c // heads
     for h in range(heads):
-        # Feed the MXU native bf16 inputs with f32 ACCUMULATION — upcasting the
-        # operands to f32 first would drop the matmuls to f32 MXU throughput
-        # (4x slower).  Softmax stays in f32 for stability; the probabilities
-        # go back to the input dtype for the PV matmul.
         q = qkv_ref[0, :, h * d:(h + 1) * d]
         k = qkv_ref[0, :, c + h * d:c + (h + 1) * d]
         v = qkv_ref[0, :, 2 * c + h * d:2 * c + (h + 1) * d]
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale
-        m = jnp.max(s, axis=-1, keepdims=True)
-        p = jnp.exp(s - m)
-        p = p / jnp.sum(p, axis=-1, keepdims=True)
-        o = jax.lax.dot_general(
-            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        o_ref[0, :, h * d:(h + 1) * d] = o.astype(o_ref.dtype)
+        o_ref[0, :, h * d:(h + 1) * d] = _attend(q, k, v, scale, o_ref.dtype)
 
 
 def _kernel_long(q_ref, k_ref, v_ref, o_ref, *, scale: float, l: int,
@@ -98,17 +108,9 @@ def _kernel_long(q_ref, k_ref, v_ref, o_ref, *, scale: float, l: int,
         for q0 in range(0, l, Q_CHUNK):
             q1 = min(q0 + Q_CHUNK, l)
             q = q_ref[0, q0:q1, j * d:(j + 1) * d]
-            s = jax.lax.dot_general(
-                q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-            ) * scale
-            m = jnp.max(s, axis=-1, keepdims=True)
-            p = jnp.exp(s - m)
-            p = p / jnp.sum(p, axis=-1, keepdims=True)
-            o = jax.lax.dot_general(
-                p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
+            o_ref[0, q0:q1, j * d:(j + 1) * d] = _attend(
+                q, k, v, scale, o_ref.dtype
             )
-            o_ref[0, q0:q1, j * d:(j + 1) * d] = o.astype(o_ref.dtype)
 
 
 def fused_attention_qkv(qkv, heads: int, scale: float, *, interpret: bool = False):
@@ -122,11 +124,17 @@ def fused_attention_qkv(qkv, heads: int, scale: float, *, interpret: bool = Fals
     assert c3 % 3 == 0
     c = c3 // 3
     assert c % heads == 0
-    if not interpret and not kernel_supported(l, c3, qkv.dtype.itemsize, heads):
-        raise ValueError(
-            f"fused_attention_qkv: (L={l}, 3C={c3}) working set exceeds VMEM"
-        )
     d = c // heads
+    if not interpret:
+        if l > MAX_FULL_SEQ and _head_group(heads, d) is None:
+            raise ValueError(
+                f"fused_attention_qkv: head_dim {d} cannot form a "
+                f"lane-aligned head group"
+            )
+        if not kernel_supported(l, c3, qkv.dtype.itemsize, heads):
+            raise ValueError(
+                f"fused_attention_qkv: (L={l}, 3C={c3}) working set exceeds VMEM"
+            )
     cost = pl.CostEstimate(
         flops=4 * l * l * c,
         bytes_accessed=(c3 + c) * l * qkv.dtype.itemsize,
@@ -138,13 +146,7 @@ def fused_attention_qkv(qkv, heads: int, scale: float, *, interpret: bool = Fals
         # packed array, selected by head-column index maps (columns blocked
         # in units of the lane-aligned group width g*d: q block j, k block
         # groups+j, v block 2*groups+j).
-        g = _head_group(heads, d)
-        if g is None and not interpret:
-            raise ValueError(
-                f"fused_attention_qkv: head_dim {d} cannot form a "
-                f"lane-aligned head group"
-            )
-        g = g or heads
+        g = _head_group(heads, d) or heads  # None only in interpret mode
         groups = heads // g
         kernel = functools.partial(_kernel_long, scale=scale, l=l, g=g, d=d)
         head_spec = lambda off: pl.BlockSpec(

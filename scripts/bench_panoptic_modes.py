@@ -134,6 +134,7 @@ def main():
             ips, img, pm = run_mode(batch, float(tau),
                                     tuple(float(v) for v in iv.split(",")))
         elif kind == "gelu":  # gelu=tanh (nnet.gelu_approx)
+            assert val == "tanh", f"gelu mode only supports 'tanh', got {val!r}"
             ips, img, pm = run_mode(batch, 0.0, None, gelu=True)
         elif kind == "full":  # full=<tau>:<lo>,<hi> — tanh GELU + accel + interval
             tau, _, iv = val.partition(":")

@@ -62,8 +62,12 @@ def test_fused_qkv_kernel_interpret_parity(rng):
         fused_attention_qkv,
     )
 
+    # (MAX_FULL_SEQ+70, 2, 16): ragged final chunk, g=None fallback path;
+    # (MAX_FULL_SEQ+70, 4, 64): g=2 head groups, groups=2 — covers the
+    # off+j block-index arithmetic the real 512-panoptic shape uses.
     for l, heads, d in [(258, 4, 32), (590, 2, 64), (65, 3, 8),
-                        (MAX_FULL_SEQ + 70, 2, 16)]:
+                        (MAX_FULL_SEQ + 70, 2, 16),
+                        (MAX_FULL_SEQ + 70, 4, 64)]:
         c = heads * d
         k1 = jax.random.fold_in(rng, l)
         qkv = jax.random.normal(k1, (2, l, 3 * c), jnp.float32)
@@ -93,15 +97,19 @@ def test_oversized_sequence_falls_back_to_xla_on_tpu(rng, monkeypatch):
     )
 
     # the 512-res panoptic dual stream fits the q-chunked kernel...
-    assert kernel_supported(2126, 3 * 512, 2)
-    # ...but a 4k-token full-width model does not
-    l, c = 4096, 1024
-    assert not kernel_supported(l, 3 * c, 4)
+    assert kernel_supported(2126, 3 * 512, 2, heads=8)
+    # ...a 4k-token full-width model does not...
+    assert not kernel_supported(4096, 3 * 1024, 4, heads=16)
+    # ...nor does a short-but-wide f32 working set (whole-seq path accounting)
+    assert not kernel_supported(1024, 3 * 2048, 4, heads=16)
+    # single wide f32 head: small logits (cheap to execute) yet over budget
+    l, c, heads = 1100, 1152, 1
+    assert not kernel_supported(l, 3 * c, 4, heads=heads)
     monkeypatch.setattr(att.jax, "default_backend", lambda: "tpu")
     qkv = jax.random.normal(rng, (1, l, 3 * c), jnp.float32)
+    ref = att.attention_qkv(qkv, heads, impl="xla")
     for impl in ("infer", "auto"):
-        out = att.attention_qkv(qkv, 16, impl=impl)
-        ref = att.attention_qkv(qkv, 16, impl="xla")
+        out = att.attention_qkv(qkv, heads, impl=impl)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
 
 
