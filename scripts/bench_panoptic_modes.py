@@ -30,8 +30,10 @@ import numpy as np
 
 
 GEOS = {
-    # img, patch, embed, depth, heads, mask_size (mscoco_uvit_small[_512])
+    # img, patch, embed, depth, heads, mask_size
+    # (mscoco_uvit_small / mscoco_uvit_large / mscoco_uvit_small_512)
     "256": dict(img=32, patch=2, embed=512, depth=12, heads=8, mask=64),
+    "large": dict(img=32, patch=2, embed=1024, depth=20, heads=16, mask=64),
     "512": dict(img=64, patch=2, embed=512, depth=12, heads=8, mask=128),
 }
 
