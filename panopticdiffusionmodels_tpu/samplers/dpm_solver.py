@@ -595,6 +595,11 @@ class DPMSolver:
                 "cfg_interval is supported for the 'fast'/'fast_upstream'/"
                 "'singlestep' methods only"
             )
+            assert not self.accel_tau, (
+                "accel_tau (forecast-skip) is supported for the 'fast'/"
+                "'fast_upstream'/'singlestep' methods only — it would be "
+                "silently inactive here"
+            )
         if method == "adaptive":
             x = self._sample_adaptive(x, order, t_T, t_0)
             return (x, mask_token) if mask_on else x
@@ -607,7 +612,16 @@ class DPMSolver:
         pred_mask = mask_token
         mask_t = mask_token
         fc = self.init_forecast(x, mask_token)
+        prev_cfg = None
         for group_order, group_cfg, coeffs, n in groups:
+            # Guidance-interval boundary: outputs cached under the other
+            # protocol (guided vs cond-only) differ by scale*(cond-uncond);
+            # extrapolating across the flip would emit a mixture.  Resetting
+            # the cache counter forces real evals until two same-protocol
+            # outputs rebuild it (host-static: group flags are static).
+            if fc is not None and prev_cfg is not None and group_cfg != prev_cfg:
+                fc = {**fc, "k": jnp.zeros((), jnp.int32)}
+            prev_cfg = group_cfg
             update = getattr(self, self._UPDATES[group_order])
 
             if n == 1:

@@ -138,10 +138,13 @@ def pndm_sample(
         hist = jnp.concatenate([eps[None], ets[:-1]], axis=0)
         new_ets = jnp.where(row["store"], hist, ets)
         model_out = jnp.tensordot(row["coeffs"], hist, axes=1)
+        # On the PLMS warm-up's second half-step the update operand is the
+        # SAVED cur_sample, not x (diffusers step_plms semantics); that same
+        # selection doubles as the carried cur for the next step (step 0
+        # stores its input x into cur).
         base = jnp.where(row["use_cur"], cur, x)
         x_next = row["sample_coeff"] * base - row["eps_coeff"] * model_out
-        new_cur = jnp.where(row["use_cur"], cur, x)  # step 0 saves its input
-        return (x_next.astype(x.dtype), new_ets, new_cur, pm), None
+        return (x_next.astype(x.dtype), new_ets, base, pm), None
 
     ets0 = jnp.zeros((4, *x.shape), jnp.float32)
     pm0 = (jnp.zeros_like(mask_token) if panoptic else jnp.zeros((), jnp.float32))

@@ -148,15 +148,19 @@ class GenerationPipeline:
     # --- generation --------------------------------------------------------
 
     def _pipeline(self, n: int, steps: int):
-        key_shape = (n, steps)
-        if key_shape in self._jitted:
-            return self._jitted[key_shape]
         config = self.config
         N = self.schedule.N
         scale = config.sample.get("scale", 0.0)
         cfg_enabled = bool(config.sample.get("cfg", False))
         accel_tau = float(config.sample.get("accel", 0.0))
         cfg_interval = tuple(config.sample.get("cfg_interval", ())) or None
+        # The speed-mode knobs are baked into the compiled program, so they
+        # are part of the cache key — mutating config.sample after a generate
+        # call correctly triggers a recompile instead of silently reusing the
+        # old program.
+        key_shape = (n, steps, scale, cfg_enabled, accel_tau, cfg_interval)
+        if key_shape in self._jitted:
+            return self._jitted[key_shape]
         hw = config.nnet.get("img_size", None) or config.nnet.get("sample_size")
         z_shape = tuple(config.get("z_shape", (hw, hw, config.nnet.get("in_chans", 4))))
 

@@ -320,6 +320,42 @@ def test_cfg_interval_splits_flags_by_step_time(rng):
     assert counts[False] >= 10, counts
 
 
+def test_accel_cache_resets_at_cfg_boundary(rng):
+    """Forecast-skip must NOT extrapolate across a guidance-interval group
+    boundary: outputs cached under the other protocol differ by the guidance
+    term.  With accel_tau huge every eligible call skips, so real evals =
+    2 (warm-up) + 2 per cfg flip (cache rebuild); without the reset the
+    post-boundary steps would keep skipping (2 total)."""
+    ns = _ns()
+    counts = {True: 0, False: 0}
+    model = _flagged_model(0.2, ns, counts)
+    solver = DPMSolver(model, ns, predict_x0=True, accel_tau=1e6,
+                       cfg_interval=(0.0, 0.5))
+    x_T = jax.random.normal(rng, (1, 4, 4, 4))
+    out = jax.jit(lambda x: solver.sample(x, steps=30, eps=1e-3, order=3,
+                                          method="fast"))(x_T)
+    assert np.isfinite(np.asarray(out)).all()
+    total = counts[True] + counts[False]
+    # one flip on the time_uniform grid (t crosses 0.5 once) -> 2 + 2 evals,
+    # split across the two protocols
+    assert total == 4, counts
+    assert counts[True] == 2 and counts[False] == 2, counts
+
+
+def test_accel_refused_for_multistep_and_adaptive(rng):
+    """accel_tau would be silently inactive for multistep/adaptive — the
+    solver must refuse instead (same contract as cfg_interval)."""
+    import pytest
+
+    ns = _ns()
+    solver = DPMSolver(_delta_model(0.2, ns), ns, predict_x0=True,
+                       accel_tau=0.2)
+    x_T = jax.random.normal(rng, (1, 4, 4, 4))
+    for method in ("multistep", "adaptive"):
+        with pytest.raises(AssertionError, match="accel_tau"):
+            solver.sample(x_T, steps=10, eps=1e-3, order=2, method=method)
+
+
 def test_cfg_interval_never_on_equals_uncond_sampling(rng):
     """An interval that never triggers must match sampling with CFG disabled
     byte-for-byte (the wrapper collapses to the single cond forward)."""
