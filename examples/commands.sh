@@ -40,8 +40,10 @@ python sample.py --config=mscoco_uvit_small
 # measured speed/deviation trade):
 #   forecast-skip (~2.4x)                 --config.sample.accel=0.2
 #   guidance interval (1.3x, 2404.07724)  --config.sample.cfg_interval="(0.0,0.5)"
-# combined: 3.05x the exact protocol at 1.2% trajectory deviation
+#   tanh GELU (~1.2-1.3x)                 --config.nnet.gelu_approx=True
+# full combo: ~3.5-3.7x the exact protocol at ~1.2% trajectory deviation
 python sample.py --config=mscoco_uvit_small \
+    --config.nnet.gelu_approx=True \
     --config.sample.accel=0.2 --config.sample.cfg_interval="(0.0,0.5)"
 
 # --- feature extraction -----------------------------------------------------
@@ -55,4 +57,7 @@ python bench.py                      # headline sampling throughput (one JSON li
 python scripts/bench_speed_modes.py  # speed modes: throughput + deviation evidence
 python scripts/bench_breakdown.py    # wall-time shares: solver / decode / forward
 python scripts/bench_train.py        # training throughput A/B (remat policies)
+python scripts/bench_protocols.py 512L  # ImageNet-512/huge sampling protocols
+python scripts/bench_eval_io.py      # eval-loop host/device overlap A/B
+python scripts/verify_kernel_tpu.py  # on-chip Pallas kernel numerics evidence
 python -m pytest tests/ -q           # full test suite (8-device CPU mesh)
