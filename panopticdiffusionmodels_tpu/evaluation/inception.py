@@ -175,13 +175,15 @@ def inception_pool3(params: Dict, x, resize: bool = True, normalize: bool = True
 
 
 def make_extractor(params: Dict):
-    """Jitted [0,1] NHWC -> (N, 2048) extractor."""
+    """Jitted [0,1] NHWC -> (N, 2048) extractor.
 
-    @jax.jit
-    def extract(x):
-        return inception_pool3(params, jnp.asarray(x, jnp.float32))
-
-    return extract
+    The ~24M-parameter weight tree is passed as an ARGUMENT on every call —
+    closure-capturing it would serialize ~95 MB of constants into the traced
+    program (CLAUDE.md: relay HTTP-413 / multi-minute compiles)."""
+    extract = jax.jit(
+        lambda p, x: inception_pool3(p, jnp.asarray(x, jnp.float32))
+    )
+    return lambda x: extract(params, x)
 
 
 # ---------------------------------------------------------------------------

@@ -63,11 +63,25 @@ def _load_weights(trainer: Trainer, config):
 
 
 def _context_stream(trainer: Trainer, batch_size: int):
-    """Cycle deterministic test contexts (+ panoptic + index) for sampling."""
+    """Cycle deterministic test contexts (+ panoptic + index) for sampling.
+
+    Batches are assembled CYCLICALLY over the split (with wrap-around) so
+    every sample appears exactly once per cycle even when batch_size does
+    not divide the split length — the reference's `idx + 10000*(idx//4992)`
+    filename/caption-pairing contract assumes full, un-dropped coverage;
+    a drop_last batch loader would silently skip the tail every epoch."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from ..data.loader import _collate
+
     test = trainer.dataset.get_split("test", labeled=True)
-    loader = Loader(test, batch_size=batch_size, shuffle=False, num_workers=4)
+    n = len(test)
+    ex = ThreadPoolExecutor(max_workers=4)
+    pos = 0
     while True:
-        yield from loader.epoch()
+        idxs = [(pos + j) % n for j in range(batch_size)]
+        pos = (pos + batch_size) % n
+        yield _collate(list(ex.map(test.__getitem__, idxs)))
 
 
 def _n_real_classes(config) -> int:
@@ -80,12 +94,37 @@ def _n_real_classes(config) -> int:
     return k - 1 if config.sample.get("cfg", False) else k
 
 
-def make_eval_sample_fn(trainer: Trainer, sample_steps: int, batch_size: int):
-    """Returns sample_fn(batch_size) with the sample2dir contract."""
+class _LiveWeights:
+    """Unpacks (`*weights`) to the trainer's CURRENT sample weights at each
+    use, so cached jitted sample fns never sample with stale parameters."""
+
+    def __init__(self, trainer: Trainer):
+        self._trainer = trainer
+
+    def __iter__(self):
+        return iter(self._trainer.sample_weights())
+
+
+def make_eval_sample_fn(trainer: Trainer, sample_steps: int, batch_size: int,
+                        jit_cache: Optional[dict] = None):
+    """Returns sample_fn(batch_size) with the sample2dir contract.
+
+    `jit_cache`: optional dict for reusing the jitted sampler across repeated
+    calls (the in-training FID gate runs every save_interval; re-tracing the
+    whole sampling program each round is minutes through a remote-compile
+    tunnel).  Weights are fetched from the trainer PER BATCH, so a cached
+    program always samples with the current (EMA) parameters."""
     config = trainer.config
     task = trainer.task
-    jit_sample = jax.jit(trainer.build_sample_fn(sample_steps), static_argnames="n")
-    weights = trainer.sample_weights()
+    if jit_cache is None:
+        jit_cache = {}
+    cache_key = ("sample_fn", sample_steps)
+    if cache_key not in jit_cache:
+        jit_cache[cache_key] = jax.jit(
+            trainer.build_sample_fn(sample_steps), static_argnames="n"
+        )
+    jit_sample = jit_cache[cache_key]
+    weights = _LiveWeights(trainer)
     key_holder = {"key": jax.random.PRNGKey(config.seed + 777)}
 
     def next_key():
@@ -99,7 +138,8 @@ def make_eval_sample_fn(trainer: Trainer, sample_steps: int, batch_size: int):
 
         def sample_fn(n):
             batch = next(ctx_stream)
-            fallback_index = np.arange(counter["n"], counter["n"] + n)
+            # modulo matches sample2dir's 4992-bucket naming (see next_indices)
+            fallback_index = np.arange(counter["n"], counter["n"] + n) % 4992
             counter["n"] += n
             if len(batch) >= 4:
                 moments, context, panoptic, index = batch[:4]
@@ -133,6 +173,18 @@ def make_eval_sample_fn(trainer: Trainer, sample_steps: int, batch_size: int):
 
         return sample_fn, panoptic_on
 
+    # Running sample counter: sample2dir names files from the returned
+    # indices, so per-batch np.arange(n) would collide across batches and
+    # overwrite everything within a 4992-name bucket.  The modulo keeps the
+    # reference's `i + 10000*(written//4992)` naming contract (index cycles
+    # in lockstep with the bucket), giving globally unique names.
+    counter = {"n": 0}
+
+    def next_indices(n):
+        idx = np.arange(counter["n"], counter["n"] + n) % 4992
+        counter["n"] += n
+        return idx
+
     if task == "latent_discrete" or (
         task in ("pixel_sde", "latent_sde") and config.train.get("mode") == "cond"
     ):
@@ -141,13 +193,13 @@ def make_eval_sample_fn(trainer: Trainer, sample_steps: int, batch_size: int):
         def sample_fn(n):
             y = jax.random.randint(next_key(), (n,), 0, n_classes)
             samples = jit_sample(*weights, next_key(), y)
-            return np.arange(n), samples
+            return next_indices(n), samples
 
         return sample_fn, False
 
     def sample_fn(n):
         samples = jit_sample(*weights, next_key(), None, n=n)
-        return np.arange(n), samples
+        return next_indices(n), samples
 
     return sample_fn, False
 
@@ -197,24 +249,35 @@ def evaluate(config, workdir: str, n_samples: Optional[int] = None):
         mask_path=mask_dir,
         mask_bits=config.nnet.get("mask_bits", 8),
     )
-    fid = None
+    fid = _score_fid(trainer, sample_dir, workdir, n, metrics)
+    if fid is not None:
+        logging.info(f"FID{n}: {fid}")
+    logging.info(f"eval metrics: {metrics}")
+    return metrics
+
+
+def _score_fid(trainer: Trainer, sample_dir: str, workdir: str, n: int,
+               metrics: dict, step: Optional[int] = None):
+    """FID vs the dataset's reference stats when the assets exist; writes
+    eval.log and adds metrics['fid'].  Shared by evaluate() and the
+    training-time FID gate."""
     fid_stat = trainer.dataset.fid_stat
-    if (
+    if not (
         jax.process_index() == 0
         and fid_stat
         and os.path.exists(fid_stat)
         and os.path.exists(INCEPTION_WEIGHTS)
     ):
-        from .inception import load_torch_inception_weights, make_extractor
+        return None
+    from .inception import load_torch_inception_weights, make_extractor
 
-        extractor = make_extractor(load_torch_inception_weights(INCEPTION_WEIGHTS))
-        fid = fid_given_paths(fid_stat, sample_dir, extractor)
-        metrics["fid"] = fid
-        logging.info(f"FID{n}: {fid}")
-        with open(os.path.join(workdir, "eval.log"), "a") as f:
-            print(f"fid{n}={fid} {metrics}", file=f)
-    logging.info(f"eval metrics: {metrics}")
-    return metrics
+    extractor = make_extractor(load_torch_inception_weights(INCEPTION_WEIGHTS))
+    fid = fid_given_paths(fid_stat, sample_dir, extractor)
+    metrics["fid"] = fid
+    with open(os.path.join(workdir, "eval.log"), "a") as f:
+        tag = f"step={step} " if step is not None else ""
+        print(f"{tag}fid{n}={fid} {metrics}", file=f)
+    return fid
 
 
 def sample_only(config, workdir: str):
@@ -251,7 +314,9 @@ def make_vis_callback(n_images: int = 16, sample_steps: int = 50):
             ctx = np.stack([np.asarray(test[i][1]) for i in range(n)])
             out = cache["fn"](*weights, key, jnp.asarray(ctx))
         elif task == "latent_discrete" or trainer.config.train.get("mode") == "cond":
-            y = jax.random.randint(key, (n,), 0, _n_real_classes(trainer.config))
+            # separate keys: labels and init noise must be independent draws
+            k_y, key = jax.random.split(key)
+            y = jax.random.randint(k_y, (n,), 0, _n_real_classes(trainer.config))
             out = cache["fn"](*weights, key, y)
         else:
             out = cache["fn"](*weights, key, None, n=n)
@@ -278,6 +343,7 @@ def make_fid_gated_callback(n_samples: Optional[int] = None):
     save_interval, sample + score; keep the checkpoint only when FID (or, with
     no FID assets, eval_loss_mask / nothing) improves."""
     best = {"fid": None}
+    jit_cache: dict = {}  # one traced sampler reused across eval rounds
 
     def callback(trainer: Trainer, step: int):
         from ..train import checkpoint as ckpt_lib
@@ -299,7 +365,7 @@ def make_fid_gated_callback(n_samples: Optional[int] = None):
         sample_dir = os.path.join(trainer.workdir, "samples")
         mask_dir = os.path.join(trainer.workdir, "mask")
         sample_fn, use_panoptic = make_eval_sample_fn(
-            trainer, config.sample.sample_steps, bs
+            trainer, config.sample.sample_steps, bs, jit_cache=jit_cache
         )
         metrics = sample2dir(
             sample_dir, n, bs, sample_fn,
@@ -308,20 +374,8 @@ def make_fid_gated_callback(n_samples: Optional[int] = None):
             mask_path=mask_dir,
             mask_bits=config.nnet.get("mask_bits", 8),
         )
-        fid = None
-        fid_stat = trainer.dataset.fid_stat
-        if (
-            jax.process_index() == 0
-            and fid_stat and os.path.exists(fid_stat)
-            and os.path.exists(INCEPTION_WEIGHTS)
-        ):
-            from .inception import load_torch_inception_weights, make_extractor
-
-            extractor = make_extractor(load_torch_inception_weights(INCEPTION_WEIGHTS))
-            fid = fid_given_paths(fid_stat, sample_dir, extractor)
-            metrics["fid"] = fid
-            with open(os.path.join(trainer.workdir, "eval.log"), "a") as f:
-                print(f"step={step} fid{n}={fid}", file=f)
+        fid = _score_fid(trainer, sample_dir, trainer.workdir, n, metrics,
+                         step=step)
         logging.info(f"eval@{step}: {metrics}")
         if jax.process_index() == 0:
             improved = fid is None or best["fid"] is None or fid <= best["fid"]

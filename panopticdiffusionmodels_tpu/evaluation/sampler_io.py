@@ -86,7 +86,9 @@ def sample2dir(
     def process(out, _batch_size):
         if use_panoptic:
             sample_idx, samples, pred_mask, loss_mask, panoptic = out
-            loss_mask_all.append(float(np.mean(np.asarray(loss_mask))))
+            lm = float(np.mean(np.asarray(loss_mask)))
+            if np.isfinite(lm):  # NaN marks "no ground truth for this batch"
+                loss_mask_all.append(lm)
         else:
             sample_idx, samples = out
         samples = np.asarray(samples)[:_batch_size]

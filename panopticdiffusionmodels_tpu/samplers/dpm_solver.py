@@ -280,9 +280,23 @@ class DPMSolver:
         out, new_fc = res
         return out, None, new_fc
 
-    def _first_update(self, x, c, mask_t, mask_on: bool, fc=None, cfg_on: bool = True):
+    def _memo_eval(self, evals, tag, *args):
+        """Memoized _call_model for the adaptive pair: the lower- and
+        higher-order candidate steps share their common evaluations (the
+        upstream reference passes lower_noise_kwargs into the higher update
+        for the same reason).  evals=None (every non-adaptive path) is a
+        plain call."""
+        if evals is not None and tag in evals:
+            return evals[tag]
+        res = self._call_model(*args)
+        if evals is not None:
+            evals[tag] = res
+        return res
+
+    def _first_update(self, x, c, mask_t, mask_on: bool, fc=None, cfg_on: bool = True,
+                      evals=None):
         """Order-1 step (reference `dpm_solver_pp.py:420-494`)."""
-        noise_s, pred_mask, fc = self._call_model(x, c["s"], c["sigma_s"], c["alpha_s"], mask_t, fc, cfg_on)
+        noise_s, pred_mask, fc = self._memo_eval(evals, "s", x, c["s"], c["sigma_s"], c["alpha_s"], mask_t, fc, cfg_on)
         if self.predict_x0:
             # phi_1 here is (e^{-h}-1)/(-1) = -expm1(-h) in the reference (:441);
             # our precomputed phi_1 = expm1(-h), so negate.
@@ -304,9 +318,10 @@ class DPMSolver:
             mask_next = mask_t
         return x_t, pred_mask, mask_next, fc
 
-    def _second_update(self, x, c, mask_t, mask_on: bool, fc=None, cfg_on: bool = True):
+    def _second_update(self, x, c, mask_t, mask_on: bool, fc=None, cfg_on: bool = True,
+                      evals=None):
         """Order-2 step, 'dpm_solver' type (reference `dpm_solver_pp.py:496-599`)."""
-        noise_s, pred_mask, fc = self._call_model(x, c["s"], c["sigma_s"], c["alpha_s"], mask_t, fc, cfg_on)
+        noise_s, pred_mask, fc = self._memo_eval(evals, "s", x, c["s"], c["sigma_s"], c["alpha_s"], mask_t, fc, cfg_on)
         if self.predict_x0:
             x_s1 = (
                 _bcast(c["sigma_s1"] / c["sigma_s"], x) * x
@@ -321,8 +336,8 @@ class DPMSolver:
                 )
             else:
                 mask_s1 = mask_t
-            noise_s1, pred_mask_s1, fc = self._call_model(
-                x_s1, c["s1"], c["sigma_s1"], c["alpha_s1"],
+            noise_s1, pred_mask_s1, fc = self._memo_eval(
+                evals, "s1", x_s1, c["s1"], c["sigma_s1"], c["alpha_s1"],
                 mask_s1 if mask_t is not None else None, fc, cfg_on,
             )
             if self.solver_type == "taylor":
@@ -354,8 +369,8 @@ class DPMSolver:
                 _bcast(jnp.exp(c["log_alpha_s1"] - c["log_alpha_s"]), x) * x
                 - _bcast(c["sigma_s1"] * c["phi_11"], x) * noise_s
             )
-            noise_s1, _, fc = self._call_model(
-                x_s1, c["s1"], c["sigma_s1"], c["alpha_s1"], mask_t, fc, cfg_on
+            noise_s1, _, fc = self._memo_eval(
+                evals, "s1", x_s1, c["s1"], c["sigma_s1"], c["alpha_s1"], mask_t, fc, cfg_on
             )
             if self.solver_type == "taylor":
                 # reference `dpm_solver_pp.py:584-589`
@@ -375,9 +390,10 @@ class DPMSolver:
             mask_next = mask_t
         return x_t, pred_mask, mask_next, fc
 
-    def _third_update(self, x, c, mask_t, mask_on: bool, fc=None, cfg_on: bool = True):
+    def _third_update(self, x, c, mask_t, mask_on: bool, fc=None, cfg_on: bool = True,
+                      evals=None):
         """Order-3 step, 'dpm_solver' type (reference `dpm_solver_pp.py:679-829`)."""
-        noise_s, pred_mask, fc = self._call_model(x, c["s"], c["sigma_s"], c["alpha_s"], mask_t, fc, cfg_on)
+        noise_s, pred_mask, fc = self._memo_eval(evals, "s", x, c["s"], c["sigma_s"], c["alpha_s"], mask_t, fc, cfg_on)
         if self.predict_x0:
             x_s1 = (
                 _bcast(c["sigma_s1"] / c["sigma_s"], x) * x
@@ -391,8 +407,8 @@ class DPMSolver:
                 )
             else:
                 mask_s1 = mask_t
-            noise_s1, pred_mask_s1, fc = self._call_model(
-                x_s1, c["s1"], c["sigma_s1"], c["alpha_s1"],
+            noise_s1, pred_mask_s1, fc = self._memo_eval(
+                evals, "s1", x_s1, c["s1"], c["sigma_s1"], c["alpha_s1"],
                 mask_s1 if mask_t is not None else None, fc, cfg_on,
             )
             x_s2 = (
@@ -410,8 +426,8 @@ class DPMSolver:
                 )
             else:
                 mask_s2 = mask_t
-            noise_s2, pred_mask_s2, fc = self._call_model(
-                x_s2, c["s2"], c["sigma_s2"], c["alpha_s2"],
+            noise_s2, pred_mask_s2, fc = self._memo_eval(
+                evals, "s2", x_s2, c["s2"], c["sigma_s2"], c["alpha_s2"],
                 mask_s2 if mask_t is not None else None, fc, cfg_on,
             )
             if self.solver_type == "taylor":
@@ -448,14 +464,14 @@ class DPMSolver:
                 _bcast(jnp.exp(c["log_alpha_s1"] - c["log_alpha_s"]), x) * x
                 - _bcast(c["sigma_s1"] * c["phi_11"], x) * noise_s
             )
-            noise_s1, _, fc = self._call_model(x_s1, c["s1"], c["sigma_s1"], c["alpha_s1"], mask_t, fc, cfg_on)
+            noise_s1, _, fc = self._memo_eval(evals, "s1", x_s1, c["s1"], c["sigma_s1"], c["alpha_s1"], mask_t, fc, cfg_on)
             x_s2 = (
                 _bcast(jnp.exp(c["log_alpha_s2"] - c["log_alpha_s"]), x) * x
                 - _bcast(c["sigma_s2"] * c["phi_12"], x) * noise_s
                 - _bcast((c["r2"] / c["r1"]) * c["sigma_s2"] * c["phi_22"], x)
                 * (noise_s1 - noise_s)
             )
-            noise_s2, _, fc = self._call_model(x_s2, c["s2"], c["sigma_s2"], c["alpha_s2"], mask_t, fc, cfg_on)
+            noise_s2, _, fc = self._memo_eval(evals, "s2", x_s2, c["s2"], c["sigma_s2"], c["alpha_s2"], mask_t, fc, cfg_on)
             if self.solver_type == "taylor":
                 # reference `dpm_solver_pp.py:809-819`
                 d1_0 = _bcast(1.0 / c["r1"], x) * (noise_s1 - noise_s)
@@ -526,14 +542,19 @@ class DPMSolver:
                 for i, o in enumerate(orders)
             ]
         elif method == "singlestep":
-            n_steps = steps // order
-            timesteps = get_time_steps(self.ns, skip_type, t_T, t_0, n_steps)
+            # upstream semantics (dpm_solver_pytorch.py
+            # get_orders_and_timesteps_for_singlestep_solver): a lower-order
+            # remainder step keeps the full `steps` NFE budget instead of
+            # silently discarding steps % order evaluations.
+            k, rem = divmod(steps, order)
+            orders = [order] * k + ([rem] if rem else [])
+            timesteps = get_time_steps(self.ns, skip_type, t_T, t_0, len(orders))
             plan = [
                 _step_coeffs(
-                    self.ns, float(timesteps[i]), float(timesteps[i + 1]), order,
+                    self.ns, float(timesteps[i]), float(timesteps[i + 1]), o,
                     None, None, self.predict_x0,
                 )
-                for i in range(n_steps)
+                for i, o in enumerate(orders)
             ]
         else:
             raise ValueError(method)
@@ -648,15 +669,19 @@ class DPMSolver:
                 )
 
         if denoise:
-            x = self._denoise(x, t_0)
+            x = self._denoise(x, t_0, mask_token=mask_t)
         return (x, pred_mask) if (mask_on or mask_fixed) else x
 
-    def _denoise(self, x, s: float):
+    def _denoise(self, x, s: float, mask_token=None):
         """Final x0 projection (reference `dpm_solver_pp.py:407-418`)."""
         sig = float(self.ns.marginal_std(s))
         log_a = float(self.ns.marginal_log_mean_coeff(s))
         t_vec = jnp.full((x.shape[0],), s, dtype=x.dtype)
         kw = {} if self.cfg_interval is None else {"cfg_on": self._cfg_flag(s)}
+        # panoptic models need their mask conditioning on EVERY call (same
+        # kw convention as _net: only pass mask_token when one exists)
+        if mask_token is not None:
+            kw["mask_token"] = mask_token
         out = self.model(x, t_vec, **kw)
         noise = out[0] if isinstance(out, tuple) else out
         return (x - sig * noise) / np.exp(log_a)
@@ -759,20 +784,30 @@ class DPMSolver:
         h = h_init
         x_prev = x
         nfe = 0
+        # lower/higher candidate steps SHARE their common model evals via the
+        # memo dict (total = `order` real evals per iteration, matching the
+        # upstream reference's lower_noise_kwargs reuse): the lower update's
+        # intermediate point s1 uses the same r1 as the higher's, so its
+        # (x_s1, s1) evaluation is bit-identical.
         if order == 2:
             r1 = 0.5
-            lower = lambda x, s, t: self._run_single(x, s, t, 1)
-            higher = lambda x, s, t: self._run_single(x, s, t, 2, r1=r1)
+            def pair(x, s, t):
+                evals = {}
+                xl = self._run_single(x, s, t, 1, evals=evals)
+                xh = self._run_single(x, s, t, 2, r1=r1, evals=evals)
+                return xl, xh
         elif order == 3:
             r1, r2 = 1.0 / 3.0, 2.0 / 3.0
-            lower = lambda x, s, t: self._run_single(x, s, t, 2, r1=r1)
-            higher = lambda x, s, t: self._run_single(x, s, t, 3, r1=r1, r2=r2)
+            def pair(x, s, t):
+                evals = {}
+                xl = self._run_single(x, s, t, 2, r1=r1, evals=evals)
+                xh = self._run_single(x, s, t, 3, r1=r1, r2=r2, evals=evals)
+                return xl, xh
         else:
             raise ValueError("adaptive solver order must be 2 or 3")
         while abs(s - t_0) > t_err:
             t = float(self.ns.inverse_lambda(np.array(lam_s + h)))
-            x_lower = lower(x, s, t)
-            x_higher = higher(x, s, t)
+            x_lower, x_higher = pair(x, s, t)
             delta = jnp.maximum(
                 atol, rtol * jnp.maximum(jnp.abs(x_lower), jnp.abs(x_prev))
             )
@@ -795,9 +830,9 @@ class DPMSolver:
             nfe += order
         return x
 
-    def _run_single(self, x, s, t, order, r1=None, r2=None):
+    def _run_single(self, x, s, t, order, r1=None, r2=None, evals=None):
         c = _step_coeffs(self.ns, float(s), float(t), order, r1, r2, self.predict_x0).data
         c = {k: jnp.float32(v) for k, v in c.items()}
         update = getattr(self, self._UPDATES[order])
-        x_t, _, _, _ = update(x, c, None, False)
+        x_t, _, _, _ = update(x, c, None, False, evals=evals)
         return x_t

@@ -129,6 +129,7 @@ def pndm_sample(
         t = jnp.full((x.shape[0],), row["t"], jnp.float32)
         if panoptic:
             eps, pm = model_fn(x, t, mask_token=mask_token)
+            pm = pm.astype(jnp.float32)  # keep the scan carry f32 (bf16 nets)
         else:
             eps = model_fn(x, t)
         eps = eps.astype(jnp.float32)
@@ -147,7 +148,10 @@ def pndm_sample(
         return (x_next.astype(x.dtype), new_ets, base, pm), None
 
     ets0 = jnp.zeros((4, *x.shape), jnp.float32)
-    pm0 = (jnp.zeros_like(mask_token) if panoptic else jnp.zeros((), jnp.float32))
+    # f32 carry like eps: a bf16-compute network must not narrow the scan
+    # carry (same discipline as dpm_solver._net)
+    pm0 = (jnp.zeros(jnp.shape(mask_token), jnp.float32) if panoptic
+           else jnp.zeros((), jnp.float32))
     (x, _, _, pm), _ = jax.lax.scan(step, (x, ets0, jnp.asarray(x, jnp.float32), pm0), xs)
     if panoptic:
         return x, pm

@@ -342,6 +342,46 @@ def test_accel_cache_resets_at_cfg_boundary(rng):
     assert counts[True] == 2 and counts[False] == 2, counts
 
 
+def test_singlestep_keeps_full_nfe_budget():
+    """steps % order must become a lower-order remainder step (upstream
+    get_orders_and_timesteps_for_singlestep_solver), not be discarded."""
+    ns = _ns()
+    solver = DPMSolver(_delta_model(0.2, ns), ns, predict_x0=True)
+    groups = solver._build_plan(50, 3, "singlestep", "time_uniform", 1e-3, 1.0)
+    nfe = sum(order * n for order, _, _, n in groups)
+    assert nfe == 50, nfe
+    assert groups[-1][0] == 2  # 16x order-3 + 1x order-2 remainder
+
+
+def test_adaptive_pair_shares_model_evals(rng):
+    """The lower/higher candidate steps of the adaptive solver must share
+    their common evaluations via the memo dict: order-2 lower + order-3
+    higher = 3 real evals, not 5."""
+    ns = _ns()
+    counts = {"n": 0}
+
+    def model(x, t_vec, mask_token=None):
+        def bump(_):
+            counts["n"] += 1
+            return np.int32(0)
+
+        jax.experimental.io_callback(bump, jax.ShapeDtypeStruct((), jnp.int32),
+                                     jnp.zeros(()))
+        return _delta_model(0.2, ns)(x, t_vec)
+
+    solver = DPMSolver(model, ns, predict_x0=True)
+    x = jax.random.normal(rng, (1, 4, 4, 4))
+    evals = {}
+    xl = solver._run_single(x, 0.9, 0.5, 2, r1=1.0 / 3.0, evals=evals)
+    xh = solver._run_single(x, 0.9, 0.5, 3, r1=1.0 / 3.0, r2=2.0 / 3.0,
+                            evals=evals)
+    jax.block_until_ready((xl, xh))
+    assert counts["n"] == 3, counts
+    # and the adaptive loop itself stays finite/correct end-to-end
+    out = solver.sample(x, steps=10, eps=1e-3, order=3, method="adaptive")
+    assert np.isfinite(np.asarray(out)).all()
+
+
 def test_accel_refused_for_multistep_and_adaptive(rng):
     """accel_tau would be silently inactive for multistep/adaptive — the
     solver must refuse instead (same contract as cfg_interval)."""

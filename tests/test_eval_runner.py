@@ -89,3 +89,8 @@ def test_class_cond_eval_respects_num_classes(tmp_path):
     idx, samples = sample_fn(4)
     assert samples.shape == (4, 8, 8, 4)
     assert np.isfinite(np.asarray(samples)).all()
+    # indices must ADVANCE across batches: per-batch arange(n) collides in
+    # sample2dir's filename scheme and overwrites earlier samples
+    idx2, _ = sample_fn(4)
+    assert not np.intersect1d(np.asarray(idx), np.asarray(idx2)).size, (idx, idx2)
+    np.testing.assert_array_equal(np.asarray(idx2), np.arange(4, 8))
