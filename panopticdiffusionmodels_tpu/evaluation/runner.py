@@ -15,7 +15,6 @@ import jax
 import numpy as np
 from absl import logging
 
-from ..data import Loader
 from ..diffusion.math import mos
 from ..diffusion.analog_bits import ints_to_analog
 from ..train import checkpoint as ckpt_lib
