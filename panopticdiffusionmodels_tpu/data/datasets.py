@@ -161,7 +161,11 @@ class CIFAR10(DatasetFactory):
         super().__init__()
         x_train, y_train = _load_cifar10_arrays(path, train=True)
         x_test, y_test = _load_cifar10_arrays(path, train=False)
-        self.train = ArrayImageDataset(x_train, y_train, random_flip=random_flip)
+        train = ArrayImageDataset(x_train, y_train, random_flip=random_flip)
+        if cfg:  # label-null dropout (null class = 10), same as ImageNet
+            assert p_uncond is not None
+            train = CFGLabelDataset(train, p_uncond, 10)
+        self.train = train
         self.test = ArrayImageDataset(x_test, y_test)
         assert len(self.train) == 50000
 
@@ -381,7 +385,16 @@ class MSCOCOFeatureDataset:
         self.deterministic = deterministic
         self.return_index = return_index
         names = [n for n in os.listdir(path) if n.endswith("_seg.npy")]
-        self.indices = sorted(int(n.split("_")[0]) for n in names)
+        # A plain (non-panoptic) t2i extraction has no {i}_seg.npy files —
+        # enumerate the {i}.npy moments instead and omit the panoptic field.
+        self.has_seg = bool(names)
+        if self.has_seg:
+            self.indices = sorted(int(n.split("_")[0]) for n in names)
+        else:
+            self.indices = sorted(
+                int(n[:-4]) for n in os.listdir(path)
+                if n.endswith(".npy") and n[:-4].isdigit()
+            )
 
     def __len__(self):
         return len(self.indices)
@@ -391,15 +404,16 @@ class MSCOCOFeatureDataset:
         z = np.load(os.path.join(self.path, f"{i}.npy"))  # (2C, h, w) moments
         k = 0 if self.deterministic else random.randint(0, self.num_captions - 1)
         context = np.load(os.path.join(self.path, f"{i}_{k}.npy"))
-        seg = np.load(os.path.join(self.path, f"{i}_seg.npy"))
-        pool = seg.shape[0] // self.mask_size
-        if pool > 1:
-            seg = min_pool_2d(seg, pool)
         out = (
             np.ascontiguousarray(z.transpose(1, 2, 0)).astype(np.float32),
             context.astype(np.float32),
-            seg[..., None].astype(np.int32),  # (H, W, 1)
         )
+        if self.has_seg:
+            seg = np.load(os.path.join(self.path, f"{i}_seg.npy"))
+            pool = seg.shape[0] // self.mask_size
+            if pool > 1:
+                seg = min_pool_2d(seg, pool)
+            out = (*out, seg[..., None].astype(np.int32))  # (H, W, 1)
         if self.return_index:
             return (*out, i)
         return out

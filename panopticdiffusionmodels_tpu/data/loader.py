@@ -103,13 +103,17 @@ def prefetch_to_device(iterator, sharding, size: int = 2,
         return jax.tree.map(one, batch)
 
     def worker():
+        # Data-pipeline errors must surface in the consumer, not silently
+        # truncate the stream: a corrupt .npy would otherwise look like a
+        # clean end-of-data and abort training as a bare StopIteration.
         try:
             for batch in iterator:
                 if stop.is_set():
                     return
                 q.put(put(batch))
-        finally:
             q.put(None)
+        except BaseException as e:  # noqa: BLE001 — re-raised in consumer
+            q.put(e)
 
     t = threading.Thread(target=worker, daemon=True)
     t.start()
@@ -118,6 +122,8 @@ def prefetch_to_device(iterator, sharding, size: int = 2,
             item = q.get()
             if item is None:
                 return
+            if isinstance(item, BaseException):
+                raise item
             yield item
     finally:
         stop.set()

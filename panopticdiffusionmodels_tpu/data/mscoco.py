@@ -25,13 +25,15 @@ def rgb2id(color: np.ndarray) -> np.ndarray:
     return color[..., 0] + 256 * color[..., 1] + 256 * 256 * color[..., 2]
 
 
-def center_crop_resize(img, size: int):
+def center_crop_resize(img, size: int, nearest: bool = False):
+    """nearest=True for label maps: BICUBIC on the RGB-encoded segment-id PNG
+    would blend ids into colors that decode to nonexistent segments."""
     from PIL import Image
 
     w, h = img.size
     s = min(w, h)
     img = img.crop(((w - s) // 2, (h - s) // 2, (w + s) // 2, (h + s) // 2))
-    return img.resize((size, size), Image.BICUBIC)
+    return img.resize((size, size), Image.NEAREST if nearest else Image.BICUBIC)
 
 
 class MSCOCODatabase:
@@ -77,7 +79,10 @@ class MSCOCODatabase:
             return None
         a = self.panoptic[image_id]
         png = Image.open(os.path.join(self.panoptic_root, a["file_name"]))
-        seg_ids = rgb2id(np.asarray(center_crop_resize(png, self.size), dtype=np.uint8))
+        seg_ids = rgb2id(
+            np.asarray(center_crop_resize(png, self.size, nearest=True),
+                       dtype=np.uint8)
+        )
         # segment id -> category id (reference datasets.py:527-535)
         cat_map = np.zeros_like(seg_ids)
         for seg in a["segments_info"]:

@@ -119,9 +119,16 @@ class NativeFeatureLoader:
 
     def __iter__(self) -> Iterator:
         while True:
-            yield self.next()
+            batch = self.next()
+            if batch is None:
+                # PEP 479: raising StopIteration here would surface as
+                # RuntimeError('generator raised StopIteration'); a None
+                # return from the C side means the loader is closed/errored.
+                return
+            yield batch
 
     def next(self):
+        """One batch, or None when the native loader is closed/errored."""
         moments = np.empty(self._mshape, dtype=np.float32)
         context = np.empty(self._cshape, dtype=np.float32)
         seg = np.empty(self._sshape, dtype=np.int32) if self._sshape else None
@@ -132,7 +139,7 @@ class NativeFeatureLoader:
             seg.ctypes.data_as(ctypes.c_void_p) if seg is not None else None,
         )
         if not ok:
-            raise StopIteration
+            return None
         if seg is None:
             return moments, context
         return moments, context, seg

@@ -37,22 +37,37 @@ def _load_weights(trainer: Trainer, config):
 
             sd = load_torch_state_dict(nnet_path)
             if config.nnet.name == "uvit_t2i":
+                # layout flags MUST match the target model: without
+                # scan_blocks the converter emits unrolled names and
+                # _merge_params silently matches nothing on scanned configs
                 loaded = convert_uvit_t2i(
                     sd, depth=config.nnet.depth,
                     mlp_time_embed=config.nnet.mlp_time_embed,
+                    scan_blocks=config.nnet.get("scan_blocks", False),
+                    enable_panoptic=config.nnet.get("enable_panoptic", True),
+                    separate=config.nnet.get("separate", True),
                 )
             else:
                 loaded = convert_uvit(
                     sd, depth=config.nnet.depth,
                     mlp_time_embed=config.nnet.mlp_time_embed,
                     num_classes=config.nnet.get("num_classes", -1),
+                    scan_blocks=config.nnet.get("scan_blocks", False),
                 )
-            from ..train.trainer import _merge_params
+            from ..train.trainer import _merge_params_counted
 
-            trainer.state = trainer.state.replace(
-                ema_params=_merge_params(trainer.state.ema_params, loaded)
+            merged, n_ok, n_all = _merge_params_counted(
+                trainer.state.ema_params, loaded
             )
-            logging.info(f"loaded reference weights {nnet_path}")
+            if n_ok == 0:
+                raise ValueError(
+                    f"{nnet_path!r} matched ZERO parameters — layout mismatch "
+                    "(check scan_blocks/enable_panoptic/separate in the config)"
+                )
+            trainer.state = trainer.state.replace(ema_params=merged)
+            logging.info(
+                f"loaded reference weights {nnet_path}: {n_ok}/{n_all} matched"
+            )
             return
         state, ok = ckpt_lib.resume(os.path.dirname(nnet_path), trainer.state)
         if ok:
@@ -143,8 +158,13 @@ def make_eval_sample_fn(trainer: Trainer, sample_steps: int, batch_size: int,
             if len(batch) >= 4:
                 moments, context, panoptic, index = batch[:4]
             elif len(batch) == 3:
-                moments, context, panoptic = batch
-                index = fallback_index
+                moments, context, third = batch
+                if np.ndim(third) <= 1:
+                    # (moments, context, index): non-panoptic features with
+                    # return_index — a (B,) int field is never a seg map
+                    panoptic, index = None, third
+                else:
+                    panoptic, index = third, fallback_index
             else:
                 moments, context = batch[:2]
                 panoptic, index = None, fallback_index

@@ -85,6 +85,31 @@ class PatchEmbed(nn.Module):
         )(x)
 
 
+class ZeroConv(nn.Module):
+    """Per-token linear projection, zero-initialized (ControlNet coupling).
+
+    Equivalent to the reference's Conv1d(embed, embed, 1) with zero init
+    (`libs/uvit_t2i.py:246-257,366-369`): at init the mask stream contributes
+    nothing to the image stream; training opens the gate.  Shared by the
+    unrolled (uvit_t2i) and scanned (scan_stack) dual-stream layouts — the
+    child Dense is named "conv" in both, which the torch bridge and the
+    freeze-mask path rules rely on.
+    """
+
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        zeros = nn.initializers.zeros
+        return nn.Dense(
+            x.shape[-1],
+            kernel_init=zeros,
+            bias_init=zeros,
+            dtype=self.dtype,
+            name="conv",
+        )(x)
+
+
 class Mlp(nn.Module):
     """fc -> GELU -> fc (reference `libs/timm.py:96-112`).
 

@@ -21,7 +21,7 @@ from typing import Any, Optional
 import flax.linen as nn
 import jax.numpy as jnp
 
-from .layers import Block
+from .layers import Block, ZeroConv
 
 Dtype = Any
 
@@ -106,20 +106,6 @@ def out_stack(x, skips, *, length, remat=False, remat_policy=None, use_skip=True
     return x
 
 
-class _ZeroConvInline(nn.Module):
-    dtype: Dtype = jnp.float32
-
-    @nn.compact
-    def __call__(self, x):
-        return nn.Dense(
-            x.shape[-1],
-            kernel_init=nn.initializers.zeros,
-            bias_init=nn.initializers.zeros,
-            dtype=self.dtype,
-            name="conv",
-        )(x)
-
-
 class _DualBody(nn.Module):
     """One coupled layer of the dual-stream panoptic U-ViT: image block +
     mask-stream block over [x ; m] + zero-conv gate (semantics of reference
@@ -157,7 +143,7 @@ class _DualBody(nn.Module):
 
         x = blk("block", self.skip)(x, skip_x)
         mx = blk("block_mask", self.skip)(mx, skip_mx)
-        x_add = _ZeroConvInline(dtype=self.dtype, name="zero_conv")(
+        x_add = ZeroConv(dtype=self.dtype, name="zero_conv")(
             mx[:, : self.img_len, :]
         )
         x = x + x_add

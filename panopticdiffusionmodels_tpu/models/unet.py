@@ -35,8 +35,11 @@ from .layers import timestep_embedding
 Dtype = Any
 
 
-def _gn(x, dtype, name):
-    return nn.GroupNorm(num_groups=32, epsilon=1e-6, dtype=dtype, name=name)(x)
+def _gn(x, dtype, name, eps=1e-5):
+    """SD-1.x GroupNorm: the LDM UNet's normalization() is torch GroupNorm
+    with the default eps 1e-5 (ResBlocks, out norm); only the
+    SpatialTransformer's Normalize uses eps 1e-6."""
+    return nn.GroupNorm(num_groups=32, epsilon=eps, dtype=dtype, name=name)(x)
 
 
 class ResBlock(nn.Module):
@@ -117,7 +120,7 @@ class SpatialTransformer(nn.Module):
     def __call__(self, x, context):
         b, h, w, c = x.shape
         res = x
-        x = _gn(x, self.dtype, "norm")
+        x = _gn(x, self.dtype, "norm", eps=1e-6)  # LDM attention Normalize
         x = nn.Conv(c, (1, 1), dtype=self.dtype, name="proj_in")(x)
         x = x.reshape(b, h * w, c)
         for i in range(self.depth):

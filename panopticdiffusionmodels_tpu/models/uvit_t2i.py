@@ -42,6 +42,7 @@ from .layers import (
     default_init,
     timestep_embedding,
     unpatchify,
+    ZeroConv,
 )
 
 Dtype = Any
@@ -49,25 +50,7 @@ Dtype = Any
 zero_init = nn.initializers.zeros
 
 
-class ZeroConv(nn.Module):
-    """Per-token linear projection, zero-initialized (ControlNet coupling).
 
-    Equivalent to the reference's Conv1d(embed, embed, 1) with zero init
-    (`libs/uvit_t2i.py:246-257,366-369`): at init the mask stream contributes
-    nothing to the image stream; training opens the gate.
-    """
-
-    dtype: Dtype = jnp.float32
-
-    @nn.compact
-    def __call__(self, x):
-        return nn.Dense(
-            x.shape[-1],
-            kernel_init=zero_init,
-            bias_init=zero_init,
-            dtype=self.dtype,
-            name="conv",
-        )(x)
 
 
 class UViTT2I(nn.Module):

@@ -133,30 +133,48 @@ class Trainer:
         frozen_mask = None
         if config.get("pretrained", ""):
             pretrained = config.pretrained
-            if os.path.exists(pretrained):
-                from ..utils.torch_bridge import load_torch_state_dict
+            if not os.path.exists(pretrained):
+                # Fail loudly: proceeding would FREEZE a randomly-initialized
+                # image stream and train garbage with no error.
+                raise FileNotFoundError(
+                    f"config.pretrained={pretrained!r} does not exist"
+                )
+            from ..utils.torch_bridge import load_torch_state_dict
 
-                sd = load_torch_state_dict(pretrained)
-                if config.nnet.name == "unet_t2i":
-                    # miniSD / LDM checkpoint (reference use_unet path,
-                    # train_t2i_discrete.py:279-287)
-                    from ..utils.ldm_bridge import convert_ldm_unet
+            sd = load_torch_state_dict(pretrained)
+            if config.nnet.name == "unet_t2i":
+                # miniSD / LDM checkpoint (reference use_unet path,
+                # train_t2i_discrete.py:279-287)
+                from ..utils.ldm_bridge import convert_ldm_unet
 
-                    loaded = convert_ldm_unet(
-                        sd,
-                        channel_mult=tuple(config.nnet.channel_mult),
-                        num_res_blocks=config.nnet.num_res_blocks,
-                    )
-                else:
-                    from ..utils.torch_bridge import convert_uvit_t2i
+                loaded = convert_ldm_unet(
+                    sd,
+                    channel_mult=tuple(config.nnet.channel_mult),
+                    num_res_blocks=config.nnet.num_res_blocks,
+                )
+            else:
+                from ..utils.torch_bridge import convert_uvit_t2i
 
-                    loaded = convert_uvit_t2i(
-                        sd, depth=config.nnet.depth,
-                        mlp_time_embed=config.nnet.mlp_time_embed,
-                        scan_blocks=config.nnet.get("scan_blocks", False),
-                    )
-                params = _merge_params(params, loaded)
-                logging.info(f"loaded pretrained image stream from {pretrained}")
+                # enable_panoptic/separate declare the TARGET layout so an
+                # image-only checkpoint lands in the dual-scan module names.
+                loaded = convert_uvit_t2i(
+                    sd, depth=config.nnet.depth,
+                    mlp_time_embed=config.nnet.mlp_time_embed,
+                    scan_blocks=config.nnet.get("scan_blocks", False),
+                    enable_panoptic=config.nnet.get("enable_panoptic", True),
+                    separate=config.nnet.get("separate", True),
+                )
+            params, n_merged, n_loaded = _merge_params_counted(params, loaded)
+            logging.info(
+                f"loaded pretrained image stream from {pretrained}: "
+                f"{n_merged}/{n_loaded} converted leaves matched"
+            )
+            if n_merged == 0:
+                raise ValueError(
+                    f"pretrained checkpoint {pretrained!r} matched ZERO "
+                    "parameters — layout mismatch (check scan_blocks/"
+                    "enable_panoptic/separate)"
+                )
             # Freeze exactly the reference's image-stream set; the mask
             # stream (incl. mid_block_mask / zero convs) must train.
             frozen_mask = {"params": panoptic_image_stream_mask(params["params"])}
@@ -463,10 +481,21 @@ class Trainer:
                     return cfg_fn(xx, tt, context, mask_token=mask_token)
 
                 if panoptic_on:
-                    mask_init = jax.random.normal(
-                        k2, (n, config.nnet.mask_size, config.nnet.mask_size,
-                             config.nnet.mask_bits)
-                    )
+                    if use_gt:
+                        # GT-conditioned mode: the mask input is the encoded
+                        # ground-truth map, not noise (same as the solver
+                        # branch below; reference use_ground_truth eval)
+                        from ..diffusion.analog_bits import ints_to_analog
+
+                        mask_init = ints_to_analog(
+                            panoptic, n=config.nnet.mask_bits,
+                            dtype=z_init.dtype,
+                        )
+                    else:
+                        mask_init = jax.random.normal(
+                            k2, (n, config.nnet.mask_size, config.nnet.mask_size,
+                                 config.nnet.mask_bits)
+                        )
                     z, pred_mask = pndm_sample(model_fn, z_init, steps, acp,
                                                num_train_timesteps=N,
                                                mask_token=mask_init)
@@ -663,13 +692,21 @@ class Trainer:
             pass
 
 
-def _merge_params(params, loaded):
+def _merge_params_counted(params, loaded):
     """Overlay `loaded` onto `params` where paths match (strict=False load,
-    reference `utils.py:383`)."""
+    reference `utils.py:383`); returns (merged, n_matched, n_loaded) so
+    callers can detect layout mismatches instead of training random weights."""
     import flax.traverse_util as tu
 
     flat = dict(tu.flatten_dict(params))
-    for k, v in tu.flatten_dict(loaded).items():
+    loaded_flat = tu.flatten_dict(loaded)
+    n = 0
+    for k, v in loaded_flat.items():
         if k in flat and flat[k].shape == np.asarray(v).shape:
             flat[k] = jnp.asarray(v)
-    return tu.unflatten_dict(flat)
+            n += 1
+    return tu.unflatten_dict(flat), n, len(loaded_flat)
+
+
+def _merge_params(params, loaded):
+    return _merge_params_counted(params, loaded)[0]

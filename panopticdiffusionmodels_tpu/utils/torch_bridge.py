@@ -148,6 +148,14 @@ def convert_uvit_t2i(
 ) -> dict:
     """Reference `libs/uvit_t2i.py` UViT state dict -> flax params['params'].
 
+    `enable_panoptic`/`separate`/`scan_blocks` describe the TARGET model's
+    layout (they pick the flax module names); whether MASK-stream parameters
+    are emitted depends on the CHECKPOINT's own keys.  An image-only t2i
+    checkpoint converted for a dual-stream scan target therefore lands its
+    image blocks at `in_blocks_dual.block` (where `_merge_params` finds
+    them), with the mask stream left to its fresh initialization — the
+    reference's fine-tuning setup (`train_t2i_discrete.py:300-319`).
+
     Zero-conv mapping: the reference allocates 2*depth+2 Conv1d layers but only
     uses the odd indices 2*i+1 (`libs/uvit_t2i.py:435,452,470`); those map to our
     zero_convs_in_{i} / zero_convs_mid / zero_convs_out_{i} (or the stacked
@@ -168,6 +176,7 @@ def convert_uvit_t2i(
     p["mid_block"] = _block(sd, "mid_block", skip=False)
 
     panoptic = enable_panoptic and "mask_embed.proj.weight" in sd
+    dual_target = enable_panoptic and separate  # target layout
     if panoptic:
         p["mask_embed"] = _patch_embed(sd, "mask_embed.proj")
         p["decoder_pred_mask"] = _linear(sd, "decoder_pred_mask")
@@ -180,36 +189,39 @@ def convert_uvit_t2i(
                 "conv": _conv1d_as_dense(sd, f"zero_convs.{2 * half + 1}.conv")
             }
 
-    dual = panoptic and separate
-    if scan_blocks and dual:
-        p["in_blocks_dual"] = {
+    dual = panoptic and separate  # checkpoint HAS a separate mask stream
+    if scan_blocks and dual_target:
+        in_dual = {
             "block": _stack_trees(
                 [_block(sd, f"in_blocks.{i}", skip=False) for i in range(half)]
             ),
-            "block_mask": _stack_trees(
-                [_block(sd, f"in_blocks_mask.{i}", skip=False) for i in range(half)]
+        }
+        out_dual = {
+            "block": _stack_trees(
+                [_block(sd, f"out_blocks.{i}", skip=True) for i in range(half)]
             ),
-            "zero_conv": _stack_trees(
+        }
+        if dual:
+            in_dual["block_mask"] = _stack_trees(
+                [_block(sd, f"in_blocks_mask.{i}", skip=False) for i in range(half)]
+            )
+            in_dual["zero_conv"] = _stack_trees(
                 [
                     {"conv": _conv1d_as_dense(sd, f"zero_convs.{2 * i + 1}.conv")}
                     for i in range(half)
                 ]
-            ),
-        }
-        p["out_blocks_dual"] = {
-            "block": _stack_trees(
-                [_block(sd, f"out_blocks.{i}", skip=True) for i in range(half)]
-            ),
-            "block_mask": _stack_trees(
+            )
+            out_dual["block_mask"] = _stack_trees(
                 [_block(sd, f"out_blocks_mask.{i}", skip=True) for i in range(half)]
-            ),
-            "zero_conv": _stack_trees(
+            )
+            out_dual["zero_conv"] = _stack_trees(
                 [
                     {"conv": _conv1d_as_dense(sd, f"zero_convs.{2 * (half + 1 + i) + 1}.conv")}
                     for i in range(half)
                 ]
-            ),
-        }
+            )
+        p["in_blocks_dual"] = in_dual
+        p["out_blocks_dual"] = out_dual
     elif scan_blocks:
         p["in_blocks"] = {
             "block": _stack_trees(

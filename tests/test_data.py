@@ -132,3 +132,20 @@ def test_imagenet_raw_factory(tmp_path):
     assert label in (0, 1)
     assert ds.data_shape == (64, 64, 3)
     assert "imagenet64" in ds.fid_stat
+
+
+def test_seg_resize_preserves_ids():
+    """Label maps must be resized NEAREST: bicubic blends the RGB-encoded
+    segment ids into colors that decode to nonexistent segments."""
+    from PIL import Image
+
+    from panopticdiffusionmodels_tpu.data.mscoco import center_crop_resize, rgb2id
+
+    rng = np.random.default_rng(0)
+    ids = rng.choice([7, 100000, 3050000], size=(100, 100))
+    rgb = np.stack([ids % 256, (ids // 256) % 256, ids // 256 // 256],
+                   axis=-1).astype(np.uint8)
+    png = Image.fromarray(rgb)
+    out = rgb2id(np.asarray(center_crop_resize(png, 64, nearest=True),
+                            dtype=np.uint8))
+    assert set(np.unique(out)) <= {7, 100000, 3050000}, np.unique(out)

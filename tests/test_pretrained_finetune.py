@@ -63,3 +63,50 @@ def test_pretrained_load_and_freeze(tmp_path):
         and not np.array_equal(before[key], after[key])
     ]
     assert moved, "mask stream did not receive updates"
+
+
+def test_image_only_checkpoint_into_dual_scan_model(tmp_path):
+    """Fine-tuning setup for the SHIPPED headline config shape: an IMAGE-ONLY
+    t2i checkpoint loaded into a dual-stream scan_blocks model must land its
+    blocks at in_blocks_dual.block (review finding: the converter previously
+    emitted plain-scan names that matched nothing, silently freezing a
+    randomly initialized image stream)."""
+    import libs.uvit_t2i as ref_t2i
+
+    torch.manual_seed(0)
+    tmodel = ref_t2i.UViT(
+        img_size=8, patch_size=2, in_chans=4, embed_dim=32, depth=4, num_heads=4,
+        mlp_ratio=2.0, clip_dim=16, num_clip_token=7, num_panoptic_class=8,
+        enable_panoptic=False, separate=True,  # image-only checkpoint
+    )
+    pth = str(tmp_path / "pretrained_img.pth")
+    torch.save(tmodel.state_dict(), pth)
+
+    config = get_config("synthetic_tiny")
+    config.nnet.scan_blocks = True
+    config.pretrained = pth
+    trainer = Trainer(config, str(tmp_path / "wd"))
+
+    params = tu.flatten_dict(
+        jax.tree.map(np.asarray, trainer.state.params["params"])
+    )
+    # the image half of the dual scan stack carries the checkpoint weights
+    w_torch = tmodel.in_blocks[0].mlp.fc1.weight.detach().numpy()
+    got = params[("in_blocks_dual", "block", "mlp", "fc1", "kernel")][0]
+    np.testing.assert_allclose(got, w_torch.T, rtol=1e-6)
+    # patch_embed too
+    w_pe = tmodel.patch_embed.proj.weight.detach().numpy()
+    d, c, p, _ = w_pe.shape
+    np.testing.assert_allclose(
+        params[("patch_embed", "proj", "kernel")],
+        w_pe.transpose(2, 3, 1, 0).reshape(p * p * c, d), rtol=1e-6,
+    )
+
+
+def test_missing_pretrained_path_fails_loudly(tmp_path):
+    """A typo'd pretrained path must raise, not silently freeze random
+    weights (review finding)."""
+    config = get_config("synthetic_tiny")
+    config.pretrained = str(tmp_path / "does_not_exist.pth")
+    with pytest.raises(FileNotFoundError, match="pretrained"):
+        Trainer(config, str(tmp_path / "wd"))
