@@ -154,30 +154,39 @@ struct Loader {
   std::condition_variable cv_ready, cv_space;
   size_t max_queue = 4;
   std::atomic<bool> stop{false};
-  std::atomic<uint64_t> epoch{0};
-  std::vector<int64_t> order;
-  std::atomic<size_t> cursor{0};
+  // Set on any unrecoverable load error: fl_next then returns 0 instead of
+  // blocking forever while workers spin on a persistently missing file.
+  std::atomic<bool> dead{false};
+  uint64_t epoch = 0;          // guarded by order_mu
+  std::vector<int64_t> order;  // guarded by order_mu
+  size_t cursor = 0;           // guarded by order_mu
   std::mutex order_mu;
 
-  void reshuffle() {
+  bool next_indices(std::vector<int64_t>* out) {
+    // order/cursor/epoch are read AND written under one lock: the previous
+    // lock-free fetch_add let a worker copy from `order` while another
+    // thread reassigned it inside the reshuffle (use-after-realloc UB).
     std::lock_guard<std::mutex> lk(order_mu);
-    if (cursor.load() + batch_size <= order.size()) return;  // someone else did it
-    std::mt19937_64 rng(seed + (++epoch));
-    order = indices;
-    if (shuffle) std::shuffle(order.begin(), order.end(), rng);
-    cursor.store(0);
-  }
-
-  bool next_indices(std::vector<int64_t>* out, std::mt19937_64* rng) {
     for (;;) {
-      size_t start = cursor.fetch_add(batch_size);
-      if (start + batch_size <= order.size()) {
-        out->assign(order.begin() + start, order.begin() + start + batch_size);
+      if (stop.load()) return false;
+      if (cursor + static_cast<size_t>(batch_size) <= order.size()) {
+        out->assign(order.begin() + cursor,
+                    order.begin() + cursor + batch_size);
+        cursor += batch_size;
         return true;
       }
-      if (stop.load()) return false;
-      reshuffle();
+      if (order.size() < static_cast<size_t>(batch_size)) return false;
+      std::mt19937_64 rng(seed + (++epoch));
+      order = indices;
+      if (shuffle) std::shuffle(order.begin(), order.end(), rng);
+      cursor = 0;
     }
+  }
+
+  static int64_t numel(const NpyArray& a) {
+    int64_t n = 1;
+    for (int64_t d : a.shape) n *= d;
+    return n;
   }
 
   bool load_sample(int64_t idx, int bi, Batch* b, std::mt19937_64* rng) {
@@ -185,8 +194,12 @@ struct Loader {
     NpyArray a;
     // moments: {i}.npy stored (c, h, w) -> transpose to (h, w, c)
     std::snprintf(buf, sizeof buf, "/%lld.npy", static_cast<long long>(idx));
-    if (!read_npy(dir + buf, &a)) return false;
     std::vector<float> chw(static_cast<size_t>(mc) * mh * mw);
+    if (!read_npy(dir + buf, &a) ||
+        numel(a) != static_cast<int64_t>(chw.size())) {
+      std::fprintf(stderr, "fastloader: bad or missing %s%s\n", dir.c_str(), buf);
+      return false;
+    }
     to_f32(a, chw.data(), chw.size());
     float* mdst = b->moments.data() + static_cast<size_t>(bi) * mh * mw * mc;
     for (int h = 0; h < mh; ++h)
@@ -197,14 +210,22 @@ struct Loader {
     // context: {i}_{k}.npy, random caption
     int k = static_cast<int>((*rng)() % num_captions);
     std::snprintf(buf, sizeof buf, "/%lld_%d.npy", static_cast<long long>(idx), k);
-    if (!read_npy(dir + buf, &a)) return false;
+    if (!read_npy(dir + buf, &a) ||
+        numel(a) != static_cast<int64_t>(ct) * cd) {
+      std::fprintf(stderr, "fastloader: bad or missing %s%s\n", dir.c_str(), buf);
+      return false;
+    }
     to_f32(a, b->context.data() + static_cast<size_t>(bi) * ct * cd,
            static_cast<size_t>(ct) * cd);
     // seg: {i}_seg.npy with min-pool
     if (seg_out > 0) {
       std::snprintf(buf, sizeof buf, "/%lld_seg.npy", static_cast<long long>(idx));
-      if (!read_npy(dir + buf, &a)) return false;
       std::vector<int32_t> full(static_cast<size_t>(seg_in) * seg_in);
+      if (!read_npy(dir + buf, &a) ||
+          numel(a) != static_cast<int64_t>(full.size())) {
+        std::fprintf(stderr, "fastloader: bad or missing %s%s\n", dir.c_str(), buf);
+        return false;
+      }
       to_i32(a, full.data(), full.size());
       int pool = seg_in / seg_out;
       int32_t* sdst = b->seg.data() + static_cast<size_t>(bi) * seg_out * seg_out;
@@ -226,8 +247,8 @@ struct Loader {
   void worker(int wid) {
     std::mt19937_64 rng(seed * 1315423911u + wid);
     std::vector<int64_t> batch_idx;
-    while (!stop.load()) {
-      if (!next_indices(&batch_idx, &rng)) break;
+    while (!stop.load() && !dead.load()) {
+      if (!next_indices(&batch_idx)) break;
       Batch* b = new Batch();
       b->moments.resize(static_cast<size_t>(batch_size) * mh * mw * mc);
       b->context.resize(static_cast<size_t>(batch_size) * ct * cd);
@@ -236,8 +257,12 @@ struct Loader {
       for (int i = 0; i < batch_size && ok; ++i)
         ok = load_sample(batch_idx[i], i, b, &rng);
       if (!ok) {
+        // A bad file is a real dataset problem: surface it instead of
+        // dropping batches forever while fl_next blocks.
         delete b;
-        continue;
+        dead.store(true);
+        cv_ready.notify_all();
+        break;
       }
       std::unique_lock<std::mutex> lk(mu);
       cv_space.wait(lk, [&] { return ready.size() < max_queue || stop.load(); });
@@ -259,6 +284,7 @@ void* fl_open(const char* dir, const int64_t* indices, int64_t n_indices,
               int batch_size, int num_captions, int mc, int mh, int mw, int ct,
               int cd, int seg_in, int seg_out, int shuffle, uint64_t seed,
               int num_threads) {
+  if (n_indices < batch_size || batch_size <= 0) return nullptr;
   auto* l = new Loader();
   l->dir = dir;
   l->indices.assign(indices, indices + n_indices);
@@ -285,7 +311,9 @@ int fl_next(void* handle, float* moments, float* context, int32_t* seg) {
   Batch* b = nullptr;
   {
     std::unique_lock<std::mutex> lk(l->mu);
-    l->cv_ready.wait(lk, [&] { return !l->ready.empty() || l->stop.load(); });
+    l->cv_ready.wait(lk, [&] {
+      return !l->ready.empty() || l->stop.load() || l->dead.load();
+    });
     if (l->ready.empty()) return 0;
     b = l->ready.front();
     l->ready.pop();

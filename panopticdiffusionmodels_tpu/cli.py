@@ -72,11 +72,11 @@ def _parse(argv):
         if arg.startswith("--config="):
             spec = arg.split("=", 1)[1]
         elif arg == "--config":
-            spec = next(it)
+            spec = next(it, None)
         elif arg.startswith("--workdir="):
             workdir = arg.split("=", 1)[1]
         elif arg == "--workdir":
-            workdir = next(it)
+            workdir = next(it, None)
         else:
             rest.append(arg)
     if spec is None:
@@ -101,7 +101,10 @@ def main_train(argv=None):
     hparams = apply_overrides(config, rest)
     config.hparams = "-".join(hparams) if hparams else "default"
     wd = setup_workdir(config, workdir)
-    set_logger("info", os.path.join(wd, "output.log") if os.path.isdir(wd) else None)
+    # create the workdir BEFORE attaching the file handler — otherwise the
+    # first run of a fresh workdir logs only to the console
+    os.makedirs(wd, exist_ok=True)
+    set_logger("info", os.path.join(wd, "output.log"))
     logging.info(f"workdir: {wd}")
 
     from .evaluation.runner import make_fid_gated_callback, make_vis_callback

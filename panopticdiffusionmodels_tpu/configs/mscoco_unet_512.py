@@ -32,7 +32,7 @@ def get_config():
         mask_bits=8,
         mask_size=128,
     )
-    config.dataset = d(name="mscoco256_features", path="assets/datasets/coco256_sd_features",
+    config.dataset = d(name="mscoco256_features", path="assets/datasets/coco512_sd_features",
                        cfg=True, p_uncond=0.1)
     config.sample = sample_block(30, 30000, 1, algorithm="pndm", cfg=True, scale=1.0)
     config.use_unet = True

@@ -121,14 +121,17 @@ class NativeFeatureLoader:
         while True:
             batch = self.next()
             if batch is None:
-                # PEP 479: raising StopIteration here would surface as
-                # RuntimeError('generator raised StopIteration'); a None
-                # return from the C side means the loader is closed/errored.
+                # Only an explicit close() ends the stream quietly (PEP 479:
+                # raising StopIteration inside this generator would surface
+                # as 'generator raised StopIteration').
                 return
             yield batch
 
     def next(self):
-        """One batch, or None when the native loader is closed/errored."""
+        """One batch; None after close(); raises on native-side errors
+        (bad/missing .npy files — the C side logs the path to stderr)."""
+        if not self._handle:
+            return None
         moments = np.empty(self._mshape, dtype=np.float32)
         context = np.empty(self._cshape, dtype=np.float32)
         seg = np.empty(self._sshape, dtype=np.int32) if self._sshape else None
@@ -139,13 +142,19 @@ class NativeFeatureLoader:
             seg.ctypes.data_as(ctypes.c_void_p) if seg is not None else None,
         )
         if not ok:
-            return None
+            if not self._handle or getattr(self, "_closing", False):
+                return None  # closed (possibly concurrently)
+            raise RuntimeError(
+                "native fastloader failed (bad or missing feature file — "
+                "see stderr for the path)"
+            )
         if seg is None:
             return moments, context
         return moments, context, seg
 
     def close(self):
         if getattr(self, "_handle", None):
+            self._closing = True  # lets a concurrent next() see a clean stop
             self._lib.fl_close(self._handle)
             self._handle = None
 

@@ -136,9 +136,9 @@ def fused_attention_qkv(qkv, heads: int, scale: float, *, interpret: bool = Fals
                 f"fused_attention_qkv: (L={l}, 3C={c3}) working set exceeds VMEM"
             )
     cost = pl.CostEstimate(
-        flops=4 * l * l * c,
-        bytes_accessed=(c3 + c) * l * qkv.dtype.itemsize,
-        transcendentals=heads * l * l,
+        flops=4 * b * l * l * c,
+        bytes_accessed=b * (c3 + c) * l * qkv.dtype.itemsize,
+        transcendentals=b * heads * l * l,
     )
 
     if l > MAX_FULL_SEQ:

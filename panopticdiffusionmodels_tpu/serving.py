@@ -57,6 +57,15 @@ class GenerationPipeline:
         self.is_t2i = config.nnet.name in ("uvit_t2i", "unet_t2i")
         self.panoptic = self.is_t2i and config.nnet.enable_panoptic
         if empty_context is None and self.is_t2i:
+            if bool(config.sample.get("cfg", False)):
+                from absl import logging
+
+                logging.warning(
+                    "serving: CFG is enabled but no empty_context was given — "
+                    "guidance will extrapolate against a ZEROS context the "
+                    "model never saw in training; pass empty_context_path="
+                    ".../empty_context.npy for correct unconditional guidance"
+                )
             empty_context = np.zeros(
                 (config.nnet.num_clip_token, config.nnet.clip_dim), np.float32
             )
@@ -111,8 +120,13 @@ class GenerationPipeline:
         else:
             params = jax.jit(lambda k: nnet.init(k, x, t))(key)
 
-        if nnet_path and os.path.exists(nnet_path) and name != "unet_t2i":
-            from .train.trainer import _merge_params
+        if nnet_path:
+            if not os.path.exists(nnet_path):
+                raise FileNotFoundError(
+                    f"nnet_path={nnet_path!r} does not exist — serving would "
+                    "otherwise silently generate from random weights"
+                )
+            from .train.trainer import _merge_params_counted
             from .utils.torch_bridge import (
                 convert_uvit,
                 convert_uvit_t2i,
@@ -120,15 +134,33 @@ class GenerationPipeline:
             )
 
             sd = load_torch_state_dict(nnet_path)
-            conv = convert_uvit_t2i if name == "uvit_t2i" else convert_uvit
-            kwargs = dict(
-                depth=config.nnet.depth,
-                mlp_time_embed=config.nnet.mlp_time_embed,
-                scan_blocks=config.nnet.get("scan_blocks", False),
-            )
-            if name == "uvit":
-                kwargs["num_classes"] = config.nnet.get("num_classes", -1)
-            params = _merge_params(params, conv(sd, **kwargs))
+            if name == "unet_t2i":
+                from .utils.ldm_bridge import convert_ldm_unet
+
+                loaded = convert_ldm_unet(
+                    sd,
+                    channel_mult=tuple(config.nnet.channel_mult),
+                    num_res_blocks=config.nnet.num_res_blocks,
+                )
+            else:
+                conv = convert_uvit_t2i if name == "uvit_t2i" else convert_uvit
+                kwargs = dict(
+                    depth=config.nnet.depth,
+                    mlp_time_embed=config.nnet.mlp_time_embed,
+                    scan_blocks=config.nnet.get("scan_blocks", False),
+                )
+                if name == "uvit":
+                    kwargs["num_classes"] = config.nnet.get("num_classes", -1)
+                else:
+                    kwargs["enable_panoptic"] = config.nnet.get("enable_panoptic", True)
+                    kwargs["separate"] = config.nnet.get("separate", True)
+                loaded = conv(sd, **kwargs)
+            params, n_ok, n_all = _merge_params_counted(params, loaded)
+            if n_ok == 0:
+                raise ValueError(
+                    f"{nnet_path!r} matched ZERO parameters — layout mismatch "
+                    "(check scan_blocks/enable_panoptic/separate)"
+                )
 
         vae_params = None
         if vae_path and os.path.exists(vae_path):
@@ -158,7 +190,10 @@ class GenerationPipeline:
         # are part of the cache key — mutating config.sample after a generate
         # call correctly triggers a recompile instead of silently reusing the
         # old program.
-        key_shape = (n, steps, scale, cfg_enabled, accel_tau, cfg_interval)
+        task = config.get("task", "")
+        algorithm = config.sample.get("algorithm", "dpm_solver")
+        key_shape = (n, steps, scale, cfg_enabled, accel_tau, cfg_interval,
+                     algorithm, task)
         if key_shape in self._jitted:
             return self._jitted[key_shape]
         hw = config.nnet.get("img_size", None) or config.nnet.get("sample_size")
@@ -168,6 +203,86 @@ class GenerationPipeline:
             if self.vae is not None and vae_params is not None:
                 return self.vae.apply(vae_params, z, method="decode")
             return z
+
+        if task in ("pixel_sde", "latent_sde"):
+            # Continuous VP-SDE configs (CIFAR/CelebA/ImageNet-64 + train_ldm):
+            # the discrete solver below would silently sample with the wrong
+            # schedule/time scaling.  Mirrors Trainer.build_sample_fn.
+            from .diffusion.sde import ODE, ReverseSDE, ScoreModel, VPSDE
+            from .samplers import euler_maruyama
+
+            sde = VPSDE()
+            pred = config.get("pred", "noise_pred")
+
+            def fn(params, vae_params, key, cond):
+                sm = ScoreModel(
+                    lambda xx, tt, **kw: self.nnet.apply(params, xx, tt, **kw),
+                    pred, sde,
+                )
+                kwargs = {} if cond is None else {"y": cond}
+                k1, k2 = jax.random.split(key)
+                x = jax.random.normal(k1, (n, *z_shape))
+                if algorithm == "euler_maruyama_sde":
+                    x = euler_maruyama(k2, ReverseSDE(sm), x, steps, **kwargs)
+                elif algorithm == "euler_maruyama_ode":
+                    x = euler_maruyama(k2, ODE(sm), x, steps, **kwargs)
+                else:  # continuous DPM-Solver: upstream plan (CLAUDE.md)
+                    ns = NoiseScheduleVP("linear")
+                    solver = DPMSolver(
+                        lambda xx, tt, mask_token=None: sm.noise_pred(xx, tt, **kwargs),
+                        ns, predict_x0=False,
+                    )
+                    x = solver.sample(x, steps=steps, eps=1e-4, T=1.0, order=3,
+                                      method="fast_upstream", skip_type="logSNR")
+                return decode(vae_params, x)
+
+            jitted = jax.jit(fn)
+            self._jitted[key_shape] = jitted
+            return jitted
+
+        if algorithm == "pndm":
+            # SD-1.5 PNDM/PLMS (the reference's UNet-family sampler);
+            # accel/cfg_interval do not apply to this scheduler.
+            assert self.is_t2i, "pndm serving supports the t2i families"
+            from .samplers.pndm import pndm_sample
+
+            acp = self.schedule.cum_alphas[1:]
+            empty = jnp.asarray(self.empty_context)
+
+            def fn(params, vae_params, key, context):
+                cfg_fn = make_cfg_t2i(
+                    lambda xx, tt, cc, mask_token=None: self.nnet.apply(
+                        params, xx, tt, cc, mask_token=mask_token
+                    ),
+                    empty, scale=scale, enabled=cfg_enabled,
+                )
+
+                def model_fn(xx, tt, mask_token=None):
+                    return cfg_fn(xx, tt, context, mask_token=mask_token)
+
+                k1, k2 = jax.random.split(key)
+                z = jax.random.normal(k1, (n, *z_shape))
+                if self.panoptic:
+                    m0 = jax.random.normal(
+                        k2, (n, config.nnet.mask_size, config.nnet.mask_size,
+                             config.nnet.mask_bits)
+                    )
+                    z0, pred_mask = pndm_sample(model_fn, z, steps, acp,
+                                                num_train_timesteps=N,
+                                                mask_token=m0)
+                    return decode(vae_params, z0), pred_mask
+                z0 = pndm_sample(model_fn, z, steps, acp, num_train_timesteps=N)
+                return decode(vae_params, z0)
+
+            jitted = jax.jit(fn)
+            self._jitted[key_shape] = jitted
+            return jitted
+
+        if algorithm not in ("dpm_solver", ""):
+            raise NotImplementedError(
+                f"serving does not support sample.algorithm={algorithm!r} for "
+                f"task={task!r}; use Trainer.build_sample_fn"
+            )
 
         if self.is_t2i:
             empty = jnp.asarray(self.empty_context)

@@ -93,3 +93,44 @@ def test_pipeline_speed_modes_config():
     assert images.shape == (2, 8, 8, 4)
     assert np.isfinite(images).all()
     assert masks.shape == (2, 16, 16, 1)
+
+
+def test_continuous_task_serving_uses_sde_path():
+    """pixel_sde/latent_sde configs must sample through the continuous
+    VP-SDE wiring (review finding: serving previously ran every config
+    through the discrete solver with the wrong schedule and time scaling)."""
+    from panopticdiffusionmodels_tpu.configs.base import (
+        base_config, adamw, d, sample_block, train_block, uvit, warmup,
+    )
+
+    config = base_config()
+    config.task = "pixel_sde"
+    config.compute_dtype = "float32"
+    config.train = train_block(10, 8, mode="uncond")
+    config.optimizer = adamw()
+    config.lr_scheduler = warmup(5)
+    config.nnet = uvit(img_size=8, patch_size=2, in_chans=3, embed_dim=32,
+                       depth=2, num_heads=4, mlp_ratio=2)
+    config.z_shape = (8, 8, 3)
+    config.sample = sample_block(9, 8, 4, algorithm="dpm_solver")
+    pipe = GenerationPipeline.from_config(config)
+    images = pipe.generate(n=2, steps=6)
+    assert images.shape == (2, 8, 8, 3)
+    assert np.isfinite(images).all()
+    # euler-maruyama algorithms route too
+    config.sample.algorithm = "euler_maruyama_sde"
+    images2 = pipe.generate(n=2, steps=6)
+    assert images2.shape == (2, 8, 8, 3)
+    assert not np.array_equal(images, images2)  # different sampler
+
+
+def test_serving_missing_weights_fails_loudly(tmp_path):
+    """A typo'd nnet_path must raise instead of silently serving random
+    weights (review finding)."""
+    import pytest
+
+    config = get_config("synthetic_tiny")
+    with pytest.raises(FileNotFoundError, match="nnet_path"):
+        GenerationPipeline.from_config(
+            config, nnet_path=str(tmp_path / "nope.pth")
+        )
