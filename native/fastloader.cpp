@@ -16,6 +16,7 @@
 // Build: make -C native   (g++ -O3 -shared -fPIC)
 #include <algorithm>
 #include <atomic>
+#include <chrono>
 #include <condition_variable>
 #include <cstdint>
 #include <cstdio>
@@ -254,11 +255,18 @@ struct Loader {
       b->context.resize(static_cast<size_t>(batch_size) * ct * cd);
       if (seg_out > 0) b->seg.resize(static_cast<size_t>(batch_size) * seg_out * seg_out);
       bool ok = true;
-      for (int i = 0; i < batch_size && ok; ++i)
+      for (int i = 0; i < batch_size && ok; ++i) {
+        // Bounded retry: a transient host error (EMFILE under the thread
+        // pool, NFS hiccup) must not abort a long training run; only a read
+        // that stays broken across retries is a real dataset problem worth
+        // surfacing (fl_next then raises instead of blocking forever).
         ok = load_sample(batch_idx[i], i, b, &rng);
+        for (int attempt = 0; !ok && attempt < 3 && !stop.load(); ++attempt) {
+          std::this_thread::sleep_for(std::chrono::milliseconds(50 << attempt));
+          ok = load_sample(batch_idx[i], i, b, &rng);
+        }
+      }
       if (!ok) {
-        // A bad file is a real dataset problem: surface it instead of
-        // dropping batches forever while fl_next blocks.
         delete b;
         dead.store(true);
         cv_ready.notify_all();

@@ -28,7 +28,15 @@ def _collate(samples):
 
 
 class Loader:
-    """Infinite shuffled batch iterator over a map-style dataset."""
+    """Infinite shuffled batch iterator over a map-style dataset.
+
+    Multi-process (multi-host) contract: `batch_size` is always the GLOBAL
+    batch.  Every process computes the SAME shuffle (so `seed` must be
+    process-consistent) but loads and yields only its own contiguous
+    `batch_size / process_count` row slice — the rows its addressable devices
+    own under a process-major batch sharding.  `prefetch_to_device` then
+    assembles the global array with `jax.make_array_from_process_local_data`.
+    """
 
     def __init__(
         self,
@@ -38,14 +46,21 @@ class Loader:
         drop_last: bool = True,
         num_workers: int = 8,
         seed: int = 0,
+        process_index: int = 0,
+        process_count: int = 1,
     ):
         assert len(dataset) >= batch_size, "dataset smaller than one batch"
+        assert batch_size % process_count == 0, (
+            f"global batch {batch_size} not divisible by {process_count} processes"
+        )
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.drop_last = drop_last
         self.pool = ThreadPoolExecutor(max_workers=num_workers) if num_workers > 0 else None
         self.rng = random.Random(seed)
+        per = batch_size // process_count
+        self.local_slice = slice(process_index * per, (process_index + 1) * per)
 
     def _epoch_indices(self):
         idx = list(range(len(self.dataset)))
@@ -54,13 +69,14 @@ class Loader:
         return idx
 
     def epoch(self) -> Iterator[Any]:
-        """One pass over the data."""
+        """One pass over the data (this process's slice of each global batch)."""
         idx = self._epoch_indices()
         nb = len(idx) // self.batch_size
         if not self.drop_last and len(idx) % self.batch_size:
             nb += 1
         for b in range(nb):
             batch_idx = idx[b * self.batch_size : (b + 1) * self.batch_size]
+            batch_idx = batch_idx[self.local_slice]
             if self.pool is not None:
                 samples = list(self.pool.map(self.dataset.__getitem__, batch_idx))
             else:
@@ -88,17 +104,28 @@ def prefetch_to_device(iterator, sharding, size: int = 2,
     (e.g. VAE moments before the reparameterized sample) are rounded to bf16
     precision, comparable to the reference's fp16-autocast feed.  Integer
     fields (labels, panoptic ids) are never touched.
+
+    Multi-process: each process's iterator yields its LOCAL row slice of the
+    global batch (see `Loader`); the global sharded array is assembled with
+    `jax.make_array_from_process_local_data`, which places each addressable
+    shard from the local rows — `device_put` alone cannot build an array
+    spanning non-addressable devices.
     """
     import numpy as np
 
     q: "queue.Queue" = queue.Queue(maxsize=size)
     stop = threading.Event()
+    n_proc = jax.process_count()
 
     def put(batch):
         def one(x):
             if cast_f32 is not None and getattr(x, "dtype", None) == np.float32:
                 x = np.asarray(x).astype(cast_f32)
-            return jax.device_put(x, sharding)
+            if n_proc == 1:
+                return jax.device_put(x, sharding)
+            x = np.asarray(x)
+            global_shape = (x.shape[0] * n_proc, *x.shape[1:])
+            return jax.make_array_from_process_local_data(sharding, x, global_shape)
 
         return jax.tree.map(one, batch)
 

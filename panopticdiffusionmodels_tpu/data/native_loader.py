@@ -77,7 +77,14 @@ class NativeFeatureLoader:
         shuffle: bool = True,
         num_threads: int = 4,
         seed: int = 0,
+        process_index: int = 0,
+        process_count: int = 1,
     ):
+        """`batch_size` is the GLOBAL batch.  Under `process_count > 1` each
+        process samples its local `batch_size / process_count` rows from a
+        DISJOINT strided subset of the feature files (so a per-process `seed`
+        for the internal shuffle is safe: no sample can appear on two hosts),
+        matching the Python `Loader`'s multi-host contract."""
         lib = _load_lib()
         if lib is None:
             raise RuntimeError("native fastloader unavailable (build failed?)")
@@ -90,6 +97,10 @@ class NativeFeatureLoader:
                 if n.endswith(".npy") and n[:-4].isdigit()
             )
         assert indices, f"no feature files in {path}"
+        assert batch_size % process_count == 0, (batch_size, process_count)
+        if process_count > 1:
+            indices = indices[process_index::process_count]
+            batch_size = batch_size // process_count
         assert len(indices) >= batch_size
         self.batch_size = batch_size
         mc, mh, mw = moments_shape

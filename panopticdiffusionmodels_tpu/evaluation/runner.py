@@ -92,10 +92,15 @@ def _context_stream(trainer: Trainer, batch_size: int):
     n = len(test)
     ex = ThreadPoolExecutor(max_workers=4)
     pos = 0
-    while True:
-        idxs = [(pos + j) % n for j in range(batch_size)]
-        pos = (pos + batch_size) % n
-        yield _collate(list(ex.map(test.__getitem__, idxs)))
+    try:
+        while True:
+            idxs = [(pos + j) % n for j in range(batch_size)]
+            pos = (pos + batch_size) % n
+            yield _collate(list(ex.map(test.__getitem__, idxs)))
+    finally:
+        # Runs on generator .close() / GC — without it every FID-gate round
+        # leaked 4 idle worker threads for the process lifetime.
+        ex.shutdown(wait=False)
 
 
 def _n_real_classes(config) -> int:
@@ -146,7 +151,13 @@ def make_eval_sample_fn(trainer: Trainer, sample_steps: int, batch_size: int,
         return k
 
     if task == "t2i_discrete":
+        # Close the previous round's stream (releases its executor threads
+        # deterministically) before starting a fresh cycle at position 0.
+        prev = jit_cache.pop("ctx_stream", None)
+        if prev is not None:
+            prev.close()
         ctx_stream = _context_stream(trainer, batch_size)
+        jit_cache["ctx_stream"] = ctx_stream
         panoptic_on = bool(config.nnet.enable_panoptic)
         counter = {"n": 0}
 

@@ -23,6 +23,7 @@ so one (batch) grid step holds a whole (L, 3C) slice comfortably in VMEM.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -36,7 +37,13 @@ MAX_FULL_SEQ = 1024
 # lane-aligned head group) plus a (Q_CHUNK, L) f32 score block, so the
 # working set stays bounded for long sequences.
 Q_CHUNK = 256
-VMEM_BUDGET_BYTES = 12 * 1024 * 1024
+# Conservative per-grid-step working-set budget (v5e VMEM is 128 MiB/core but
+# shared with XLA's own buffers; double buffering doubles block bytes).  The
+# estimate in kernel_supported() may be pessimistic for some backend — raise
+# it via PDM_VMEM_BUDGET_BYTES instead of editing the kernel.
+VMEM_BUDGET_BYTES = int(
+    os.environ.get("PDM_VMEM_BUDGET_BYTES", 12 * 1024 * 1024)
+)
 
 
 def _head_group(heads: int, d: int):

@@ -69,6 +69,19 @@ def shard_params_rules(params: Any, mesh: Mesh):
     return jax.tree_util.tree_unflatten(treedef, specs)
 
 
+def shard_opt_state_rules(opt_state: Any, mesh: Mesh):
+    """Optimizer-state shardings: Adam moments mirror their parameters'
+    shardings, scalars (step counts) replicate.
+
+    Works by reusing the param rules directly — they are path-SUFFIX and
+    shape driven, and the mu/nu subtrees of `optax` states mirror the param
+    tree (each moment leaf's path ends in the same `<module>/kernel` names
+    as the param it tracks), so the same `_spec_for` yields identical specs.
+    This is the other half of ZeRO-3 semantics: moments are 2x param bytes,
+    and leaving them replicated forfeits most of the fsdp memory win."""
+    return shard_params_rules(opt_state, mesh)
+
+
 def apply_sharding(params: Any, shardings: Any):
     """Place a (host or differently-sharded) pytree onto the mesh."""
     return jax.tree.map(jax.device_put, params, shardings)

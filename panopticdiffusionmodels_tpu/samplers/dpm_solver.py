@@ -612,15 +612,19 @@ class DPMSolver:
         mask_fixed = mask_token is not None and not update_mask
 
         if method in ("adaptive", "multistep"):
-            assert self.cfg_interval is None, (
-                "cfg_interval is supported for the 'fast'/'fast_upstream'/"
-                "'singlestep' methods only"
-            )
-            assert not self.accel_tau, (
-                "accel_tau (forecast-skip) is supported for the 'fast'/"
-                "'fast_upstream'/'singlestep' methods only — it would be "
-                "silently inactive here"
-            )
+            # ValueError, not assert: asserts vanish under `python -O`,
+            # silently re-introducing the inactive-knob behavior.
+            if self.cfg_interval is not None:
+                raise ValueError(
+                    "cfg_interval is supported for the 'fast'/'fast_upstream'/"
+                    "'singlestep' methods only"
+                )
+            if self.accel_tau:
+                raise ValueError(
+                    "accel_tau (forecast-skip) is supported for the 'fast'/"
+                    "'fast_upstream'/'singlestep' methods only — it would be "
+                    "silently inactive here"
+                )
         if method == "adaptive":
             x = self._sample_adaptive(x, order, t_T, t_0)
             return (x, mask_token) if mask_on else x

@@ -1,0 +1,104 @@
+"""Per-geometry guardrails for the opt-in sampling speed modes.
+
+The speed modes (`sample.accel` forecast-skip, `sample.cfg_interval` limited
+guidance, `nnet.gelu_approx`) were deviation-measured per model geometry on
+real TPU hardware (BENCH.md, round 2): the SAME `accel=0.2` that deviates
+~1% on U-ViT-S/L image trajectories produces 13.4% mask deviation / 4.2%
+analog-bit flips on the deep panoptic large model.  A mode is only as safe as
+its measurement, so enabling one on a geometry where it exceeded the budget —
+or was never measured — logs a loud warning instead of silently degrading
+outputs (round-2 verdict: "large-geometry speed modes are known-bad but
+unguarded").
+
+Budgets (from BENCH.md's accepted-noise discussion): relative image deviation
+<= 2% and analog-bit flips <= 2% vs the exact 50-NFE trajectory.
+"""
+from __future__ import annotations
+
+from typing import List, Optional
+
+from absl import logging
+
+# Validated ceilings per geometry, keyed by
+# (nnet family, embed_dim, depth, enable_panoptic).
+# `max_accel`: largest forecast-skip tau whose measured deviation stayed
+# within budget (None = accel never measured in budget on this geometry);
+# `interval_ok` / `gelu_ok`: those modes measured within budget.
+# Sources: BENCH.md round-2 tables (headline, panoptic modes, large panoptic,
+# 512 panoptic, secondary protocols).
+_VALIDATED = {
+    # ImageNet U-ViT-L/2 and L/4 (same network; accel 0.3 measured at
+    # 2.1-2.4% rel dev -> over budget, 0.2 at ~1.2%)
+    ("uvit", 1024, 20, False): dict(max_accel=0.2, interval_ok=True, gelu_ok=True),
+    # Panoptic U-ViT-S/2 (256 and 512 res): accel 0.2 -> 1.35% bit flips
+    ("uvit_t2i", 512, 12, True): dict(max_accel=0.2, interval_ok=True, gelu_ok=True),
+    # t2i-only S model shares the image-stream trajectory measurements
+    ("uvit_t2i", 512, 12, False): dict(max_accel=0.2, interval_ok=True, gelu_ok=True),
+    # Panoptic U-ViT-L: accel 0.2 measured at 13.4% mask dev / 4.2% bit
+    # flips (over budget); gelu + interval-only stayed in budget.
+    ("uvit_t2i", 1024, 20, True): dict(max_accel=0.1, interval_ok=True, gelu_ok=True),
+}
+
+
+def _geometry_key(config):
+    nnet = config.nnet
+    name = nnet.get("name", "")
+    family = "uvit_t2i" if name in ("uvit_t2i", "unet_t2i") else "uvit"
+    return (
+        family,
+        int(nnet.get("embed_dim", 0)),
+        int(nnet.get("depth", 0)),
+        bool(nnet.get("enable_panoptic", False)),
+    )
+
+
+def check_speed_modes(config, log: bool = True) -> List[str]:
+    """Validate the config's enabled speed modes against the measured
+    per-geometry deviation table; returns (and logs) the warnings."""
+    accel = float(config.sample.get("accel", 0.0) or 0.0)
+    interval = tuple(config.sample.get("cfg_interval", ()) or ())
+    gelu = bool(config.nnet.get("gelu_approx", False))
+    if not (accel or interval or gelu):
+        return []
+    warnings: List[str] = []
+    key = _geometry_key(config)
+    entry: Optional[dict] = _VALIDATED.get(key)
+    label = (
+        f"geometry (family={key[0]}, embed_dim={key[1]}, depth={key[2]}, "
+        f"panoptic={key[3]})"
+    )
+    if entry is None:
+        modes = ", ".join(
+            m for m, on in (
+                (f"accel={accel}", accel),
+                (f"cfg_interval={interval}", interval),
+                ("gelu_approx", gelu),
+            ) if on
+        )
+        warnings.append(
+            f"speed modes [{modes}] have NO measured deviation entry for "
+            f"{label} — outputs may deviate more than the documented ~1%; "
+            "measure with scripts/bench_speed_modes.py before shipping"
+        )
+    else:
+        if accel and (entry["max_accel"] is None or accel > entry["max_accel"] + 1e-9):
+            validated = (
+                f"validated ceiling is accel={entry['max_accel']}"
+                if entry["max_accel"] else "no accel value is validated"
+            )
+            warnings.append(
+                f"sample.accel={accel} EXCEEDS the measured deviation budget "
+                f"for {label} ({validated}; BENCH.md) — expect degraded "
+                "outputs (e.g. 13.4% mask deviation on the panoptic large "
+                "model at accel=0.2)"
+            )
+        if interval and not entry.get("interval_ok", False):
+            warnings.append(
+                f"sample.cfg_interval={interval} is not validated for {label}"
+            )
+        if gelu and not entry.get("gelu_ok", False):
+            warnings.append(f"nnet.gelu_approx is not validated for {label}")
+    if log:
+        for w in warnings:
+            logging.warning(w)
+    return warnings

@@ -186,6 +186,9 @@ class GenerationPipeline:
         cfg_enabled = bool(config.sample.get("cfg", False))
         accel_tau = float(config.sample.get("accel", 0.0))
         cfg_interval = tuple(config.sample.get("cfg_interval", ())) or None
+        from .samplers.speed_budget import check_speed_modes
+
+        check_speed_modes(config)
         # The speed-mode knobs are baked into the compiled program, so they
         # are part of the cache key — mutating config.sample after a generate
         # call correctly triggers a recompile instead of silently reusing the
@@ -243,6 +246,12 @@ class GenerationPipeline:
         if algorithm == "pndm":
             # SD-1.5 PNDM/PLMS (the reference's UNet-family sampler);
             # accel/cfg_interval do not apply to this scheduler.
+            if accel_tau or cfg_interval is not None:
+                logging.warning(
+                    "serving: sample.accel / sample.cfg_interval are "
+                    "DPM-Solver speed modes and have no effect with "
+                    "algorithm='pndm' — ignoring them"
+                )
             assert self.is_t2i, "pndm serving supports the t2i families"
             from .samplers.pndm import pndm_sample
 

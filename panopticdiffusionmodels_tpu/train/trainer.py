@@ -47,7 +47,13 @@ from ..diffusion import (
 from ..diffusion.cfg import make_cfg_class_cond, make_cfg_t2i
 from ..models import get_nnet
 from ..models.vae import get_model as get_vae, sample_from_moments
-from ..parallel import batch_sharding, make_mesh, replicated_sharding, shard_params_rules
+from ..parallel import (
+    batch_sharding,
+    make_mesh,
+    replicated_sharding,
+    shard_opt_state_rules,
+    shard_params_rules,
+)
 from ..samplers import DPMSolver, NoiseScheduleVP, euler_maruyama
 from ..utils import cnt_params, dct2str
 from . import checkpoint as ckpt_lib
@@ -117,8 +123,13 @@ class Trainer:
         nnet_kwargs.pop("use_ground_truth", None)
         nnet_kwargs["dtype"] = _dtype(config.get("compute_dtype", "bfloat16"))
         self.nnet = get_nnet(config.nnet.name, **nnet_kwargs)
+        # PROCESS-CONSISTENT: this key seeds param init and the per-step loss
+        # keys, both of which are replicated inputs to SPMD programs — folding
+        # in process_index here would hand every host different "replicated"
+        # values (divergent params, divergent noise) under multi-process runs.
+        # Data-feed decorrelation comes from disjoint per-process index sets
+        # (see data_stream), never from the model rng.
         self.rng = jax.random.PRNGKey(config.seed)
-        self.rng = jax.random.fold_in(self.rng, jax.process_index())
 
         params = self._init_params()
         logging.info(f"nnet has {cnt_params(params)} parameters")
@@ -186,14 +197,16 @@ class Trainer:
             frozen_mask=frozen_mask,
         )
         state = create_train_state(params, tx)
-        # place on mesh
+        # Place on mesh.  The Adam moments follow the SAME rules as their
+        # params (ZeRO-3: moments are 2x param bytes — replicating them would
+        # forfeit most of the fsdp memory win); scalar counts replicate.
         rules = shard_params_rules(state.params, self.mesh)
         state = state.replace(
             params=jax.device_put(state.params, rules),
             ema_params=jax.device_put(state.ema_params, rules),
-            opt_state=jax.device_put(state.opt_state, self.repl_sharding)
-            if self.mesh.shape["fsdp"] == 1 and self.mesh.shape["tp"] == 1
-            else state.opt_state,
+            opt_state=jax.device_put(
+                state.opt_state, shard_opt_state_rules(state.opt_state, self.mesh)
+            ),
             step=jax.device_put(state.step, self.repl_sharding),
         )
         self.state = state
@@ -377,6 +390,11 @@ class Trainer:
         steps = sample_steps or config.sample.sample_steps
         scale = config.sample.get("scale", 0.0)
         cfg_enabled = bool(config.sample.get("cfg", False))
+        from ..samplers.speed_budget import check_speed_modes
+
+        # Guardrail: warn when an enabled speed mode exceeds (or lacks) its
+        # geometry's measured deviation budget (BENCH.md round-2 table).
+        check_speed_modes(config)
         z_shape = tuple(config.get("z_shape", None) or self.dataset.data_shape)
         has_vae = self.vae is not None
         # Sampling never differentiates: use the inference attention dispatch
@@ -555,11 +573,16 @@ class Trainer:
         native = self._native_stream()
         if native is not None:
             return prefetch_to_device(native, self.batch_sharding, cast_f32=cast)
+        # seed is process-CONSISTENT: all hosts compute the same global
+        # shuffle and each loads only its own contiguous row slice
+        # (prefetch_to_device assembles the global array from the local rows).
         loader = Loader(
             self.dataset.get_split("train", labeled=True),
             batch_size=self.config.train.batch_size,
             num_workers=self.config.get("num_workers", 8),
-            seed=self.config.seed + jax.process_index(),
+            seed=self.config.seed,
+            process_index=jax.process_index(),
+            process_count=jax.process_count(),
         )
         return prefetch_to_device(iter(loader), self.batch_sharding, cast_f32=cast)
 
@@ -593,8 +616,12 @@ class Trainer:
             context_shape=(self.config.nnet.num_clip_token, self.config.nnet.clip_dim),
             seg_in=seg_in,
             mask_size=mask_size,
+            # per-process seed is safe HERE: each process shuffles a disjoint
+            # strided subset of the feature files (see NativeFeatureLoader)
             seed=self.config.seed + jax.process_index(),
             num_threads=self.config.get("num_workers", 8),
+            process_index=jax.process_index(),
+            process_count=jax.process_count(),
         )
         p_uncond = float(self.config.dataset.get("p_uncond", 0.0) or 0.0)
         empty = np.asarray(self.dataset.empty_context, dtype=np.float32)

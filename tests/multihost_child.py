@@ -1,0 +1,63 @@
+"""Child process for the 2-process multi-host regression test.
+
+Launched (twice) by tests/test_multiprocess.py: each process brings up a
+4-device CPU backend, joins a 2-process `jax.distributed` job (8 global
+devices, Gloo collectives), builds the synthetic-tiny Trainer on a
+(dp=2, fsdp=2, tp=2) mesh, feeds it through the REAL multi-process data path
+(process-consistent global shuffle -> local row slice ->
+`jax.make_array_from_process_local_data`), runs a few jitted train steps, and
+writes the per-step losses to a JSON file for the parent to compare against a
+single-process run.  This validates the multi-host story the reference gets
+from `accelerate launch --num_processes N` (`run_commands.sh:14-38`).
+
+Not collected by pytest (no test_ prefix).
+"""
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+# Platform config MUST precede any backend initialization; the deployment
+# image pre-registers an accelerator plugin that ignores JAX_PLATFORMS env.
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 4)
+
+
+def main():
+    process_id = int(sys.argv[1])
+    port = sys.argv[2]
+    out_path = sys.argv[3]
+    workdir = sys.argv[4]
+    jax.distributed.initialize(
+        f"localhost:{port}", num_processes=2, process_id=process_id
+    )
+    assert jax.process_count() == 2
+    assert len(jax.devices()) == 8, jax.devices()
+    assert len(jax.local_devices()) == 4
+
+    from panopticdiffusionmodels_tpu.configs import get_config
+    from panopticdiffusionmodels_tpu.train.trainer import Trainer
+
+    config = get_config("synthetic_tiny")
+    config.mesh.dp, config.mesh.fsdp, config.mesh.tp = 2, 2, 2
+    config.train.batch_size = 16
+    config.num_workers = 2
+    trainer = Trainer(config, workdir)
+    stream = trainer.data_stream()
+    losses = []
+    for i in range(3):
+        batch = next(stream)
+        key = jax.random.fold_in(jax.random.PRNGKey(7), i)
+        trainer.state, metrics = trainer._train_step(trainer.state, batch, key)
+        losses.append([float(metrics["loss"]), float(metrics["loss_mask"])])
+    if process_id == 0:
+        with open(out_path, "w") as f:
+            json.dump(losses, f)
+    print(f"child {process_id} done: {losses}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,75 @@
+"""Multi-host (multi-process) regression: the 2-process distributed train path
+must compute the SAME numbers as the single-process run.
+
+The reference's only operational distributed story is multi-process launch
+(`/root/reference/run_commands.sh:14-38`, accelerate `--num_processes N`); the
+TPU-native equivalent is `jax.distributed.initialize` + a process-consistent
+global shuffle where each host loads only its own batch rows and the global
+array is assembled with `jax.make_array_from_process_local_data`
+(`data/loader.py`).  This test launches two REAL processes (4 CPU devices
+each, Gloo collectives over localhost) via tests/multihost_child.py and
+compares their losses against the in-process single-controller run.
+"""
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import jax
+import numpy as np
+
+from panopticdiffusionmodels_tpu.configs import get_config
+from panopticdiffusionmodels_tpu.train.trainer import Trainer
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+CHILD = os.path.join(REPO, "tests", "multihost_child.py")
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+def _single_process_losses(tmp_path, steps=3):
+    config = get_config("synthetic_tiny")
+    config.mesh.dp, config.mesh.fsdp, config.mesh.tp = 2, 2, 2
+    config.train.batch_size = 16
+    config.num_workers = 2
+    trainer = Trainer(config, str(tmp_path))
+    stream = trainer.data_stream()
+    out = []
+    for i in range(steps):
+        batch = next(stream)
+        key = jax.random.fold_in(jax.random.PRNGKey(7), i)
+        trainer.state, metrics = trainer._train_step(trainer.state, batch, key)
+        out.append([float(metrics["loss"]), float(metrics["loss_mask"])])
+    return out
+
+
+def test_two_process_train_matches_single_process(tmp_path):
+    port = _free_port()
+    out_path = str(tmp_path / "losses.json")
+    env = dict(os.environ)
+    # The children force the CPU platform themselves (first thing, before any
+    # backend init); scrub inherited XLA device-count flags so the child's own
+    # jax_num_cpu_devices=4 is authoritative.
+    env.pop("XLA_FLAGS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, CHILD, str(i), str(port), out_path,
+             str(tmp_path / f"wd{i}")],
+            env=env, cwd=REPO,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        for i in range(2)
+    ]
+    outs = [p.communicate(timeout=540)[0] for p in procs]
+    for p, o in zip(procs, outs):
+        assert p.returncode == 0, f"child failed:\n{o[-4000:]}"
+    with open(out_path) as f:
+        two_proc = json.load(f)
+    single = _single_process_losses(tmp_path / "single")
+    np.testing.assert_allclose(two_proc, single, rtol=1e-4, atol=1e-5)

@@ -37,6 +37,77 @@ def test_fsdp_tp_matches_dp1(tmp_path):
     np.testing.assert_allclose(a, c, rtol=1e-4, atol=1e-5)
 
 
+def _embiggen(config):
+    """Push the MLP kernels over the 2**16-element fsdp threshold so the fsdp
+    axis genuinely shards params AND Adam moments (fc1 kernel = 128*512 =
+    2**16) instead of degenerating to extra batch sharding."""
+    config.nnet.embed_dim = 128
+    config.nnet.mlp_ratio = 4
+    return config
+
+
+def _leaves_matching(tree, *needles):
+    out = []
+    for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
+        names = [str(getattr(k, "key", k)) for k in path]
+        if all(any(n == want for n in names) for want in needles):
+            out.append((names, leaf))
+    return out
+
+
+def test_fsdp_actually_shards_params_and_moments(tmp_path):
+    """dp2xfsdp2xtp2 with a model over the threshold: the sharded train step
+    matches dp1 numerically, AND the fc1 kernels + their Adam moments live
+    sharded on device (VERDICT r2 weak #2: optimizer state must follow the
+    param rules for the ZeRO-3 memory win to be real)."""
+    config = _embiggen(get_config("synthetic_tiny"))
+    config.mesh.dp, config.mesh.fsdp, config.mesh.tp = 2, 2, 2
+    config.train.batch_size = 16
+    trainer = Trainer(config, str(tmp_path / "sharded"))
+
+    fc1_params = _leaves_matching(trainer.state.params, "fc1", "kernel")
+    assert fc1_params, "no fc1 kernels found"
+    for names, leaf in fc1_params:
+        assert leaf.size >= 1 << 16, (names, leaf.shape)
+        spec_names = set()
+        for axes in leaf.sharding.spec:
+            if axes is None:
+                continue
+            spec_names.update(axes if isinstance(axes, tuple) else (axes,))
+        assert "fsdp" in spec_names, (names, leaf.sharding)
+        shard = leaf.addressable_shards[0].data
+        assert shard.size <= leaf.size // 2, (names, shard.shape)
+
+    # Adam moments (mu/nu inside opt_state) of the same kernels must be
+    # sharded identically — matching shape AND sharding.
+    fc1_moments = [
+        (names, leaf)
+        for names, leaf in _leaves_matching(trainer.state.opt_state, "fc1", "kernel")
+        if leaf.shape == fc1_params[0][1].shape
+    ]
+    assert len(fc1_moments) >= 2 * len(fc1_params), "expected mu and nu per kernel"
+    for names, leaf in fc1_moments:
+        assert leaf.sharding == fc1_params[0][1].sharding, (names, leaf.sharding)
+
+    # And the sharded step computes the same numbers as unsharded dp1.
+    def run(trainer):
+        stream = trainer.data_stream()
+        out = []
+        for i in range(2):
+            batch = next(stream)
+            key = jax.random.fold_in(jax.random.PRNGKey(7), i)
+            trainer.state, metrics = trainer._train_step(trainer.state, batch, key)
+            out.append((float(metrics["loss"]), float(metrics["loss_mask"])))
+        return out
+
+    sharded = run(trainer)
+    config_ref = _embiggen(get_config("synthetic_tiny"))
+    config_ref.mesh.dp, config_ref.mesh.fsdp, config_ref.mesh.tp = 1, 1, 1
+    config_ref.train.batch_size = 16
+    ref = run(Trainer(config_ref, str(tmp_path / "ref")))
+    np.testing.assert_allclose(sharded, ref, rtol=1e-4, atol=1e-5)
+
+
 def _samples(mesh_kwargs, tmp_path, speed_modes=False):
     config = get_config("synthetic_tiny")
     for k, v in mesh_kwargs.items():
