@@ -100,7 +100,13 @@ def build_pipeline(batch_size: int, components=None):
             cfg_interval=cfg_interval,
         )
         z = jax.random.normal(key, (batch_size, 32, 32, 4))
-        z0 = solver.sample(z, steps=50, eps=1.0 / 1000, T=1.0, order=3, method="fast")
+        # BENCH_STEPS: off-protocol NFE counts (the quality gate's positive
+        # control uses 25 to prove the FD proxy detects real distribution
+        # shifts); the headline protocol is and stays 50.
+        z0 = solver.sample(
+            z, steps=int(os.environ.get("BENCH_STEPS", "50")),
+            eps=1.0 / 1000, T=1.0, order=3, method="fast",
+        )
         img = vae.apply(vae_params, z0, method="decode")
         return img
 

@@ -32,11 +32,22 @@ def main():
         make_optimizer,
         save_checkpoint,
     )
+    from panopticdiffusionmodels_tpu.train.state import make_lr_schedule
 
     config = load_config(args.config)
     pipe = GenerationPipeline.from_config(config, nnet_path=args.nnet)
+    # The optimizer must be constructed EXACTLY like the Trainer's: a
+    # schedule callable adds a ScaleByScheduleState leaf to opt_state, and a
+    # structurally different tree makes orbax refuse the resume
+    # (tests/test_weights_runbook.py drills this path).
+    lr_sched = make_lr_schedule(
+        config.optimizer.lr,
+        config.lr_scheduler.name,
+        warmup_steps=config.lr_scheduler.get("warmup_steps", -1),
+        total_steps=config.train.n_steps,
+    )
     tx = make_optimizer(config.optimizer.name,
-                        lr=config.optimizer.lr,
+                        lr_schedule=lr_sched,
                         weight_decay=config.optimizer.get("weight_decay", 0.0),
                         betas=tuple(config.optimizer.betas))
     state = create_train_state(pipe.params, tx)

@@ -1,0 +1,424 @@
+#!/usr/bin/env python
+"""Distribution-level quality gate for the opt-in sampling speed modes.
+
+Pixel deviation on one seed cannot support or refute "FID within 1%"
+(round-2 verdict).  This gate builds the standard proxy instead: for each
+configuration it generates N samples on chip, extracts features with the
+parity-proven FID InceptionV3 (`evaluation/inception.py`) at FIXED random
+weights (the architecture is what FID measures; random-feature Frechet
+distance is a standard proxy — arXiv:2002.01365 shows FD behaves under
+random features), and compares the Frechet distance between a speed mode
+and the exact protocol against the SEED-TO-SEED NOISE FLOOR: the FD between
+two exact-protocol runs that differ only in the diffusion noise seed.
+
+Accept/reject criterion (recorded per mode and geometry in BENCH.md):
+  PASS      FD(exact, mode) <= 2x mean seed floor — the mode's distribution
+            shift is indistinguishable from sampling noise at this N;
+  MARGINAL  2x..5x — measurable but small; re-measure on trained weights;
+  FAIL      > 5x — the mode visibly moves the distribution; demote it.
+
+For panoptic geometries the mask stream gets its own distribution proxy:
+total-variation distance between the mask-id frequency histograms (analog
+bits decoded to ids), again judged against the seed-to-seed floor.
+
+Runs are incremental: each invocation samples one or more configurations and
+writes (mu, sigma, mask histogram) to quality_gate/<geo>/<spec>.npz; the
+`report` spec loads everything present and prints the verdict table.
+
+Usage:
+  python scripts/quality_gate.py imagenet exactA exactB
+  python scripts/quality_gate.py imagenet gelu accel=0.2 full=0.2:0.0,0.5
+  python scripts/quality_gate.py panoptic exactA ... ; ... report
+Specs: exactA|exactB|exactC  gelu  accel=<tau>  interval=<lo>,<hi>
+       combo=<tau>:<lo>,<hi>  full=<tau>:<lo>,<hi>  report
+Geos:  imagenet (U-ViT-L/2 headline), panoptic (S/2), panoptic_large (L).
+Env:   QG_N (samples, default 1024), QG_BATCH (default 32), QG_DIR.
+One TPU process at a time (CLAUDE.md).
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", os.environ.get("JAX_CACHE_DIR", "/root/.jax_cache"))
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+import jax.numpy as jnp
+import numpy as np
+
+# Noise seeds: exact runs A/B/C differ ONLY here; every mode uses seed A so
+# FD(exactA, mode) isolates the mode's effect from seed noise.
+SEEDS = {"exactA": 101, "exactB": 202, "exactC": 303}
+MODE_SEED = 101
+
+
+def _geo():
+    return sys.argv[1]
+
+
+def _build_imagenet(batch, accel, interval, gelu, steps=50):
+    """Headline pipeline — reuses bench.build_pipeline VERBATIM (knobs via
+    the same env vars) so the persistent compile cache entries from the
+    round-2 speed-mode benches hit instead of recompiling near-identical
+    programs (~4 min each through the tunnel)."""
+    os.environ["BENCH_ACCEL"] = str(accel)
+    os.environ["BENCH_CFG_INTERVAL"] = (
+        ",".join(str(v) for v in interval) if interval else "")
+    os.environ["BENCH_GELU"] = "tanh" if gelu else ""
+    os.environ["BENCH_STEPS"] = str(steps)
+    import bench
+
+    pipe, params, vae_params = bench.build_pipeline(batch)
+
+    def pipeline(params, vae_params, key, y):
+        return pipe(params, vae_params, key, y), None
+
+    def cond(i):  # class labels: fixed per batch index, shared by all runs
+        return jnp.asarray(
+            np.random.RandomState(9000 + i).randint(0, 1000, size=batch),
+            jnp.int32,
+        )
+
+    return pipeline, params, vae_params, cond
+
+
+def _build_panoptic(batch, accel, interval, gelu, large):
+    os.environ["BENCH_GEO"] = "large" if large else "256"
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "bench_panoptic_modes",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "bench_panoptic_modes.py"),
+    )
+    bpm = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bpm)
+    pipeline, params, vae_params = bpm.build(batch, accel, interval, gelu)
+
+    def cond(i):  # CLIP-shaped contexts: fixed per batch index, shared by runs
+        return jax.random.normal(jax.random.PRNGKey(7000 + i), (batch, 77, 768))
+
+    return pipeline, params, vae_params, cond
+
+
+_TRAINED_PARAMS = os.path.join(
+    os.environ.get("QG_DIR", "/root/repo/quality_gate"), "trained_params.msgpack")
+
+
+def _structured_batch(rs: np.random.RandomState, batch: int, num_classes=10):
+    """Class-conditional structured latents: each class is a smooth 2-D
+    sinusoid pattern (per-channel frequencies/phases drawn once per class),
+    with random amplitude and additive noise.  A 10-mode distribution a small
+    diffusion model can genuinely learn in minutes — which is what gives the
+    FD gate detection power (random weights leave the solver output dominated
+    by the initial noise, and the gate measurably CANNOT distinguish even
+    25-NFE from 50-NFE there; see BENCH.md round 3)."""
+    h = np.linspace(0, 2 * np.pi, 32, endpoint=False)
+    pats = []
+    for c in range(num_classes):
+        pr = np.random.RandomState(1234 + c)
+        chans = []
+        for k in range(4):
+            fx, fy = pr.randint(1, 5, 2)
+            px, py = pr.uniform(0, 2 * np.pi, 2)
+            chans.append(np.outer(np.sin(fx * h + px), np.sin(fy * h + py)))
+        pats.append(np.stack(chans, axis=-1))
+    pats = np.stack(pats)  # (C, 32, 32, 4)
+    y = rs.randint(0, num_classes, batch)
+    amp = rs.uniform(0.7, 1.3, (batch, 1, 1, 1))
+    x0 = amp * pats[y] + 0.25 * rs.normal(size=(batch, 32, 32, 4))
+    return x0.astype(np.float32), y.astype(np.int32)
+
+
+def _trained_model(gelu, attn_impl="infer"):
+    from panopticdiffusionmodels_tpu.models import UViT
+
+    # S/2 scale at the headline's 32x32x4 latent geometry; 10 real classes +
+    # null label 10 for CFG (the protocol pipeline shape, smaller network).
+    # attn_impl: "infer" (packed-qkv kernel) for sampling, "auto" for the
+    # training loop (params are impl-independent; the bare infer dispatch
+    # has no VJP outside the trainer's recompute machinery).
+    return UViT(
+        img_size=32, patch_size=2, in_chans=4, embed_dim=512, depth=12,
+        num_heads=8, num_classes=11, dtype=jnp.bfloat16, scan_blocks=True,
+        attn_impl=attn_impl, gelu_approx=gelu,
+    )
+
+
+def train_gate_model(seconds: float = 600.0, batch: int = 64):
+    """Train the gate model on the structured distribution (CFG-ready: 10%
+    unconditional dropout), EMA the params, save to _TRAINED_PARAMS."""
+    import flax
+    import optax
+
+    from panopticdiffusionmodels_tpu.diffusion import (
+        Schedule,
+        stable_diffusion_beta_schedule,
+    )
+
+    model = _trained_model(False, attn_impl="auto")
+    schedule = Schedule(stable_diffusion_beta_schedule())
+    params = jax.jit(model.init)(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, 32, 32, 4)), jnp.zeros((1,)), jnp.zeros((1,), jnp.int32),
+    )
+    tx = optax.adamw(2e-4, weight_decay=0.03)
+    opt_state = tx.init(params)
+    ema = params
+
+    def loss_fn(p, key, x0, y):
+        n, eps, xn = schedule.sample(key, x0)
+        pred = model.apply(p, xn, n.astype(jnp.float32), y)
+        return jnp.mean((eps - pred) ** 2)
+
+    @jax.jit
+    def step(params, opt_state, ema, key, x0, y):
+        loss, grads = jax.value_and_grad(loss_fn)(params, key, x0, y)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        ema = jax.tree.map(lambda e, p: 0.999 * e + 0.001 * p, ema, params)
+        return params, opt_state, ema, loss
+
+    rs = np.random.RandomState(0)
+    key = jax.random.PRNGKey(42)
+    t0 = time.perf_counter()
+    i, loss = 0, float("nan")
+    while time.perf_counter() - t0 < seconds:
+        x0, y = _structured_batch(rs, batch)
+        y[rs.uniform(size=batch) < 0.1] = 10  # unconditional dropout for CFG
+        key, sub = jax.random.split(key)
+        params, opt_state, ema, loss_dev = step(
+            params, opt_state, ema, sub, jnp.asarray(x0), jnp.asarray(y))
+        if i % 100 == 0:
+            loss = float(loss_dev)  # sync (and keep the loop async otherwise)
+            print(f"  step {i}: loss {loss:.4f} "
+                  f"({time.perf_counter() - t0:.0f}s)", flush=True)
+        i += 1
+    loss = float(loss_dev)
+    os.makedirs(os.path.dirname(_TRAINED_PARAMS), exist_ok=True)
+    with open(_TRAINED_PARAMS, "wb") as f:
+        f.write(flax.serialization.to_bytes(ema))
+    print(f"trained {i} steps ({i * batch} images), final loss {loss:.4f} "
+          f"-> {_TRAINED_PARAMS}")
+
+
+def _build_trained(batch, accel, interval, gelu, steps):
+    """Sampling pipeline over the TRAINED gate model: same solver/CFG/decode
+    shape as the headline protocol (CFG scale 0.4, null label = 10)."""
+    import flax
+
+    from panopticdiffusionmodels_tpu.diffusion import (
+        Schedule,
+        stable_diffusion_beta_schedule,
+    )
+    from panopticdiffusionmodels_tpu.diffusion.cfg import make_cfg_class_cond
+    from panopticdiffusionmodels_tpu.models.vae import get_model as get_vae
+    from panopticdiffusionmodels_tpu.samplers import DPMSolver, NoiseScheduleVP
+
+    model = _trained_model(gelu)
+    template = jax.eval_shape(
+        lambda k: model.init(k, jnp.zeros((1, 32, 32, 4)), jnp.zeros((1,)),
+                             jnp.zeros((1,), jnp.int32)),
+        jax.random.PRNGKey(0),
+    )
+    template = jax.tree.map(lambda s: np.zeros(s.shape, s.dtype), template)
+    with open(_TRAINED_PARAMS, "rb") as f:
+        params = flax.serialization.from_bytes(template, f.read())
+    params = jax.device_put(params)
+    vae = get_vae(dtype=jnp.bfloat16)
+    vae_params = jax.jit(
+        lambda k: vae.init(k, jnp.zeros((1, 32, 32, 4)), method="decode")
+    )(jax.random.PRNGKey(1))
+    betas = stable_diffusion_beta_schedule()
+    schedule = Schedule(betas)
+    ns = NoiseScheduleVP("discrete", betas=betas)
+
+    @jax.jit
+    def pipeline(params, vae_params, key, y):
+        cfg_fn = make_cfg_class_cond(
+            lambda xx, tt, yy: model.apply(params, xx, tt, yy),
+            null_label=10, scale=0.4, enabled=True,
+        )
+        solver = DPMSolver(
+            lambda xx, tt, mask_token=None, cfg_on=True: cfg_fn(
+                xx, tt * schedule.N, y, cfg_on=cfg_on),
+            ns, predict_x0=True, accel_tau=accel, cfg_interval=interval,
+        )
+        z = jax.random.normal(key, (batch, 32, 32, 4))
+        z0 = solver.sample(z, steps=steps, eps=1.0 / 1000, T=1.0, order=3,
+                           method="fast")
+        img = vae.apply(vae_params, z0, method="decode")
+        return img, None
+
+    def cond(i):  # class labels: fixed per batch index, shared by all runs
+        return jnp.asarray(
+            np.random.RandomState(9000 + i).randint(0, 10, size=batch),
+            jnp.int32,
+        )
+
+    return pipeline, params, vae_params, cond
+
+
+def parse_spec(spec):
+    """spec -> (accel, interval, gelu, steps)"""
+    if spec.startswith("exact"):
+        return 0.0, None, False, 50
+    kind, _, val = spec.partition("=")
+    if kind == "steps":  # positive control: off-protocol NFE count — a real
+        return 0.0, None, False, int(val)  # distribution shift the gate MUST flag
+    if kind == "gelu":
+        return 0.0, None, True, 50
+    if kind == "accel":
+        return float(val), None, False, 50
+    if kind == "interval":
+        return 0.0, tuple(float(v) for v in val.split(",")), False, 50
+    if kind in ("combo", "full"):
+        tau, _, iv = val.partition(":")
+        return (float(tau), tuple(float(v) for v in iv.split(",")),
+                kind == "full", 50)
+    raise SystemExit(f"unknown spec {spec!r}")
+
+
+def run_spec(geo, spec, out_dir, n, batch):
+    from panopticdiffusionmodels_tpu.evaluation.inception import (
+        make_extractor,
+        random_params,
+    )
+
+    accel, interval, gelu, steps = parse_spec(spec)
+    large = geo == "panoptic_large"
+    if geo == "imagenet":
+        pipeline, params, vae_params, cond = _build_imagenet(
+            batch, accel, interval, gelu, steps)
+    elif geo == "trained":
+        pipeline, params, vae_params, cond = _build_trained(
+            batch, accel, interval, gelu, steps)
+    else:
+        assert steps == 50, "steps control is wired for imagenet/trained only"
+        pipeline, params, vae_params, cond = _build_panoptic(
+            batch, accel, interval, gelu, large)
+    # device_put ONCE: make_extractor passes the ~95 MB weight tree as an
+    # argument each call, and host-numpy leaves would re-cross the tunnel
+    # per batch (measured: 41 s/batch instead of ~5).
+    extractor = make_extractor(jax.device_put(random_params(0)))
+
+    seed = SEEDS.get(spec, MODE_SEED)
+    base_key = jax.random.PRNGKey(seed)
+    feats, mask_hist = [], np.zeros(256, np.int64)
+    t0 = time.perf_counter()
+    debug = os.environ.get("QG_DEBUG", "")
+    for i in range(n // batch):
+        tb = time.perf_counter()
+        key = jax.random.fold_in(base_key, i)
+        img, pm = pipeline(params, vae_params, key, cond(i))
+        # decoded images live in [-1, 1]; Inception expects [0, 1]
+        img01 = jnp.clip(img * 0.5 + 0.5, 0.0, 1.0)
+        feats.append(np.asarray(extractor(img01), np.float64))
+        if pm is not None:
+            bits = (np.asarray(pm) > 0.0).astype(np.int64)  # (B, H, W, 8)
+            ids = np.zeros(bits.shape[:3], np.int64)
+            for b in range(8):
+                ids = ids * 2 + bits[..., b]
+            mask_hist += np.bincount(ids.ravel(), minlength=256)
+        if debug:
+            ts = time.perf_counter() - tb
+            print(f"  batch {i}: {ts:.2f}s", flush=True)
+    wall = time.perf_counter() - t0
+    acts = np.concatenate(feats, axis=0)
+    mu = acts.mean(axis=0)
+    sigma = np.cov(acts, rowvar=False)
+    os.makedirs(out_dir, exist_ok=True)
+    np.savez(
+        os.path.join(out_dir, f"{spec.replace(':', '_').replace(',', '-')}.npz"),
+        mu=mu, sigma=sigma, mask_hist=mask_hist, n=n, wall=wall, spec=spec,
+    )
+    print(f"{geo}/{spec}: {n} samples in {wall:.1f}s "
+          f"({n / wall:.2f} samples/s incl. feature extraction)")
+
+
+def report(geo, out_dir):
+    from panopticdiffusionmodels_tpu.evaluation.fid import frechet_distance
+
+    runs = {}
+    for fname in sorted(os.listdir(out_dir)):
+        if not fname.endswith(".npz"):
+            continue
+        with np.load(os.path.join(out_dir, fname)) as f:
+            runs[str(f["spec"])] = {
+                "mu": f["mu"], "sigma": f["sigma"],
+                "mask_hist": f["mask_hist"], "n": int(f["n"]),
+            }
+    exact = {k: v for k, v in runs.items() if k.startswith("exact")}
+    modes = {k: v for k, v in runs.items() if not k.startswith("exact")}
+    assert len(exact) >= 2, "need >=2 exact seeds for the noise floor"
+
+    def fd(a, b):
+        return frechet_distance(a["mu"], a["sigma"], b["mu"], b["sigma"])
+
+    def tv(a, b):
+        if a["mask_hist"].sum() == 0:
+            return None
+        pa = a["mask_hist"] / a["mask_hist"].sum()
+        pb = b["mask_hist"] / b["mask_hist"].sum()
+        return 0.5 * float(np.abs(pa - pb).sum())
+
+    keys = sorted(exact)
+    floor_pairs = [(keys[i], keys[j]) for i in range(len(keys))
+                   for j in range(i + 1, len(keys))]
+    fd_floor = float(np.mean([fd(exact[a], exact[b]) for a, b in floor_pairs]))
+    tvs = [tv(exact[a], exact[b]) for a, b in floor_pairs]
+    tv_floor = float(np.mean([t for t in tvs if t is not None])) if tvs[0] is not None else None
+
+    ref = exact["exactA"]
+    n = ref["n"]
+    print(f"\n=== quality gate: {geo} (N={n}/run, Inception-FD proxy at fixed "
+          f"random weights) ===")
+    print(f"seed-to-seed FD floor (mean of {len(floor_pairs)} exact pairs): "
+          f"{fd_floor:.4f}" + (f"   mask TV floor: {tv_floor:.5f}"
+                               if tv_floor is not None else ""))
+    results = {"geo": geo, "n": n, "fd_floor": fd_floor, "tv_floor": tv_floor,
+               "modes": {}}
+    for name, run in sorted(modes.items()):
+        d = fd(ref, run)
+        ratio = d / fd_floor
+        verdict = "PASS" if ratio <= 2.0 else ("MARGINAL" if ratio <= 5.0 else "FAIL")
+        line = f"{name:22s} FD={d:8.4f}  ({ratio:5.2f}x floor)  {verdict}"
+        m = tv(ref, run)
+        if m is not None and tv_floor is not None:
+            mr = m / max(tv_floor, 1e-12)
+            mv = "PASS" if mr <= 2.0 else ("MARGINAL" if mr <= 5.0 else "FAIL")
+            line += f"   mask TV={m:.5f} ({mr:5.2f}x floor) {mv}"
+            verdict = verdict if verdict == "FAIL" or mv == "PASS" else mv
+        print(line)
+        results["modes"][name] = {"fd": d, "fd_ratio": ratio,
+                                  "mask_tv": m, "verdict": verdict}
+    out = os.path.join(out_dir, "report.json")
+    with open(out, "w") as f:
+        json.dump(results, f, indent=1)
+    print(f"report -> {out}")
+
+
+def main():
+    geo = _geo()
+    assert geo in ("imagenet", "panoptic", "panoptic_large", "trained"), geo
+    out_dir = os.path.join(
+        os.environ.get("QG_DIR", "/root/repo/quality_gate"), geo)
+    n = int(os.environ.get("QG_N", "1024"))
+    batch = int(os.environ.get("QG_BATCH", "32"))
+    for spec in sys.argv[2:]:
+        if spec == "report":
+            report(geo, out_dir)
+        elif spec.startswith("train"):
+            _, _, secs = spec.partition("=")
+            train_gate_model(float(secs) if secs else 600.0)
+        else:
+            run_spec(geo, spec, out_dir, n, batch)
+
+
+if __name__ == "__main__":
+    main()
