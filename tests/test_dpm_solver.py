@@ -392,7 +392,8 @@ def test_accel_refused_for_multistep_and_adaptive(rng):
                        accel_tau=0.2)
     x_T = jax.random.normal(rng, (1, 4, 4, 4))
     for method in ("multistep", "adaptive"):
-        with pytest.raises(AssertionError, match="accel_tau"):
+        # ValueError, not AssertionError: asserts vanish under python -O
+        with pytest.raises(ValueError, match="accel_tau"):
             solver.sample(x_T, steps=10, eps=1e-3, order=2, method=method)
 
 
