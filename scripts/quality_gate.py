@@ -31,7 +31,10 @@ Usage:
   python scripts/quality_gate.py panoptic exactA ... ; ... report
 Specs: exactA|exactB|exactC  gelu  accel=<tau>  interval=<lo>,<hi>
        combo=<tau>:<lo>,<hi>  full=<tau>:<lo>,<hi>  report
-Geos:  imagenet (U-ViT-L/2 headline), panoptic (S/2), panoptic_large (L).
+Geos:  imagenet (U-ViT-L/2 headline), panoptic (S/2), panoptic_large (L),
+       trained (class-cond U-ViT trained on chip), trained_panoptic
+       (dual-stream S/2 trained on a coupled latent+mask distribution —
+       the geometry that gates the MASK-stream speed modes).
 Env:   QG_N (samples, default 1024), QG_BATCH (default 32), QG_DIR.
 One TPU process at a time (CLAUDE.md).
 """
@@ -264,6 +267,195 @@ def _build_trained(batch, accel, interval, gelu, steps):
     return pipeline, params, vae_params, cond
 
 
+_TRAINED_PANOPTIC_PARAMS = os.path.join(
+    os.environ.get("QG_DIR", "/root/repo/quality_gate"),
+    "trained_panoptic_params.msgpack")
+
+
+def _panoptic_class_assets(num_classes=10, mask=64):
+    """Per-class (latent pattern, mask-id map, context) — all deterministic.
+
+    The mask ids are a 3-level quantization of the class pattern's first
+    channel upsampled to the mask grid (background 0 + two per-class region
+    ids), so image and mask are structurally COUPLED — the property the
+    panoptic speed modes must preserve.  The per-class context vector is the
+    'caption embedding' the model learns to condition on."""
+    h = np.linspace(0, 2 * np.pi, 32, endpoint=False)
+    pats, masks, ctxs = [], [], []
+    for c in range(num_classes):
+        pr = np.random.RandomState(1234 + c)
+        chans = []
+        for _ in range(4):
+            fx, fy = pr.randint(1, 5, 2)
+            px, py = pr.uniform(0, 2 * np.pi, 2)
+            chans.append(np.outer(np.sin(fx * h + px), np.sin(fy * h + py)))
+        pat = np.stack(chans, axis=-1)  # (32, 32, 4)
+        pats.append(pat)
+        r = mask // 32
+        up = np.repeat(np.repeat(pat[..., 0], r, axis=0), r, axis=1)
+        ids = np.zeros((mask, mask), np.int32)
+        ids[up >= 0.3] = 1 + 2 * c
+        ids[up <= -0.3] = 2 + 2 * c
+        masks.append(ids)
+        ctxs.append(np.random.RandomState(5000 + c)
+                    .normal(size=(77, 768)).astype(np.float32))
+    return np.stack(pats), np.stack(masks), np.stack(ctxs)
+
+
+def _trained_panoptic_model(gelu, attn_impl="infer", use_checkpoint=False):
+    from panopticdiffusionmodels_tpu.models import UViTT2I
+
+    # The headline panoptic geometry (mscoco_uvit_small: S/2, mask 64,
+    # dual stream, separate zeroconv coupling) — same class the protocol runs.
+    return UViTT2I(
+        img_size=32, patch_size=2, in_chans=4, embed_dim=512, depth=12,
+        num_heads=8, clip_dim=768, num_clip_token=77, mask_bits=8,
+        mask_size=64, enable_panoptic=True, separate=True, dtype=jnp.bfloat16,
+        scan_blocks=True, attn_impl=attn_impl, gelu_approx=gelu,
+        use_checkpoint=use_checkpoint,
+    )
+
+
+def train_gate_panoptic(seconds: float = 900.0, batch: int = 32):
+    """Train the dual-stream gate model on the coupled (latent, mask, context)
+    distribution with the REAL panoptic loss (`l_simple_panoptic`: eps MSE +
+    analog-bit mask regression, 2x mask noise), EMA the params, save."""
+    import flax
+    import optax
+
+    from panopticdiffusionmodels_tpu.diffusion import (
+        Schedule,
+        l_simple_panoptic,
+        stable_diffusion_beta_schedule,
+    )
+
+    model = _trained_panoptic_model(False, attn_impl="auto",
+                                    use_checkpoint=True)
+    schedule = Schedule(stable_diffusion_beta_schedule())
+    params = jax.jit(
+        lambda k: model.init(
+            k, jnp.zeros((1, 32, 32, 4)), jnp.zeros((1,)),
+            jnp.zeros((1, 77, 768)), mask_token=jnp.zeros((1, 64, 64, 8)))
+    )(jax.random.PRNGKey(0))
+    tx = optax.adamw(2e-4, weight_decay=0.03)
+    opt_state = tx.init(params)
+    ema = params
+
+    def loss_fn(p, key, x0, pan, ctx):
+        def nnet_fn(xx, tt, mask_token=None, use_ground_truth=False):
+            return model.apply(p, xx, tt, ctx, mask_token=mask_token,
+                               use_ground_truth=use_ground_truth)
+
+        le, lm = l_simple_panoptic(key, x0, nnet_fn, schedule, pan,
+                                   mask_bits=8)
+        return le.mean() + lm.mean(), (le.mean(), lm.mean())
+
+    @jax.jit
+    def step(params, opt_state, ema, key, x0, pan, ctx):
+        (_, (le, lm)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, key, x0, pan, ctx)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        ema = jax.tree.map(lambda e, p: 0.999 * e + 0.001 * p, ema, params)
+        return params, opt_state, ema, le, lm
+
+    assets = _panoptic_class_assets()
+    pats, masks, ctxs = assets
+    rs = np.random.RandomState(0)
+    key = jax.random.PRNGKey(42)
+    t0 = time.perf_counter()
+    i = 0
+    le = lm = float("nan")
+    while time.perf_counter() - t0 < seconds:
+        y = rs.randint(0, len(pats), batch)
+        amp = rs.uniform(0.7, 1.3, (batch, 1, 1, 1))
+        x0 = (amp * pats[y] + 0.25 * rs.normal(size=(batch, 32, 32, 4)))
+        pan = masks[y][..., None]
+        ctx = ctxs[y].copy()
+        ctx[rs.uniform(size=batch) < 0.1] = 0.0  # p_uncond dropout for CFG
+        key, sub = jax.random.split(key)
+        params, opt_state, ema, le_d, lm_d = step(
+            params, opt_state, ema, sub, jnp.asarray(x0, jnp.float32),
+            jnp.asarray(pan, jnp.int32), jnp.asarray(ctx))
+        if i % 100 == 0:
+            le, lm = float(le_d), float(lm_d)
+            print(f"  step {i}: loss_eps {le:.4f} loss_mask {lm:.4f} "
+                  f"({time.perf_counter() - t0:.0f}s)", flush=True)
+        i += 1
+    le, lm = float(le_d), float(lm_d)
+    os.makedirs(os.path.dirname(_TRAINED_PANOPTIC_PARAMS), exist_ok=True)
+    with open(_TRAINED_PANOPTIC_PARAMS, "wb") as f:
+        f.write(flax.serialization.to_bytes(ema))
+    print(f"trained {i} steps ({i * batch} images), final loss_eps {le:.4f} "
+          f"loss_mask {lm:.4f} -> {_TRAINED_PANOPTIC_PARAMS}")
+
+
+def _build_trained_panoptic(batch, accel, interval, gelu, steps):
+    """Sampling pipeline over the TRAINED dual-stream model: the headline
+    panoptic protocol shape (50-NFE mask-aware fast plan, t2i CFG scale 1.0
+    with mask extrapolation, VAE decode)."""
+    import flax
+
+    from panopticdiffusionmodels_tpu.diffusion import (
+        Schedule,
+        stable_diffusion_beta_schedule,
+    )
+    from panopticdiffusionmodels_tpu.diffusion.cfg import make_cfg_t2i
+    from panopticdiffusionmodels_tpu.models.vae import get_model as get_vae
+    from panopticdiffusionmodels_tpu.samplers import DPMSolver, NoiseScheduleVP
+
+    model = _trained_panoptic_model(gelu)
+    template = jax.eval_shape(
+        lambda k: model.init(
+            k, jnp.zeros((1, 32, 32, 4)), jnp.zeros((1,)),
+            jnp.zeros((1, 77, 768)), mask_token=jnp.zeros((1, 64, 64, 8))),
+        jax.random.PRNGKey(0),
+    )
+    template = jax.tree.map(lambda s: np.zeros(s.shape, s.dtype), template)
+    with open(_TRAINED_PANOPTIC_PARAMS, "rb") as f:
+        params = flax.serialization.from_bytes(template, f.read())
+    params = jax.device_put(params)
+    vae = get_vae(dtype=jnp.bfloat16)
+    vae_params = jax.jit(
+        lambda k: vae.init(k, jnp.zeros((1, 32, 32, 4)), method="decode")
+    )(jax.random.PRNGKey(1))
+    betas = stable_diffusion_beta_schedule()
+    schedule = Schedule(betas)
+    ns = NoiseScheduleVP("discrete", betas=betas)
+    empty_context = np.zeros((77, 768), np.float32)
+
+    @jax.jit
+    def pipeline(params, vae_params, key, context):
+        cfg_fn = make_cfg_t2i(
+            lambda xx, tt, cc, mask_token=None: model.apply(
+                params, xx, tt, cc, mask_token=mask_token),
+            empty_context, scale=1.0, enabled=True,
+        )
+        solver = DPMSolver(
+            lambda xx, tt, mask_token=None, cfg_on=True: cfg_fn(
+                xx, tt * schedule.N, context, mask_token=mask_token,
+                cfg_on=cfg_on),
+            ns, predict_x0=True, accel_tau=accel, cfg_interval=interval,
+        )
+        k1, k2 = jax.random.split(key)
+        z = jax.random.normal(k1, (batch, 32, 32, 4))
+        m = jax.random.normal(k2, (batch, 64, 64, 8))
+        z0, pred_mask = solver.sample(
+            z, steps=steps, eps=1.0 / 1000, T=1.0, order=3, method="fast",
+            mask_token=m,
+        )
+        img = vae.apply(vae_params, z0, method="decode")
+        return img, pred_mask
+
+    _, _, ctxs = _panoptic_class_assets()
+
+    def cond(i):  # class contexts: fixed per batch index, shared by all runs
+        y = np.random.RandomState(9000 + i).randint(0, 10, size=batch)
+        return jnp.asarray(ctxs[y])
+
+    return pipeline, params, vae_params, cond
+
+
 def parse_spec(spec):
     """spec -> (accel, interval, gelu, steps)"""
     if spec.startswith("exact"):
@@ -298,8 +490,11 @@ def run_spec(geo, spec, out_dir, n, batch):
     elif geo == "trained":
         pipeline, params, vae_params, cond = _build_trained(
             batch, accel, interval, gelu, steps)
+    elif geo == "trained_panoptic":
+        pipeline, params, vae_params, cond = _build_trained_panoptic(
+            batch, accel, interval, gelu, steps)
     else:
-        assert steps == 50, "steps control is wired for imagenet/trained only"
+        assert steps == 50, "steps control needs a steps-aware pipeline builder"
         pipeline, params, vae_params, cond = _build_panoptic(
             batch, accel, interval, gelu, large)
     # device_put ONCE: make_extractor passes the ~95 MB weight tree as an
@@ -385,7 +580,7 @@ def report(geo, out_dir):
                "modes": {}}
     for name, run in sorted(modes.items()):
         d = fd(ref, run)
-        ratio = d / fd_floor
+        ratio = d / max(fd_floor, 1e-12)
         verdict = "PASS" if ratio <= 2.0 else ("MARGINAL" if ratio <= 5.0 else "FAIL")
         line = f"{name:22s} FD={d:8.4f}  ({ratio:5.2f}x floor)  {verdict}"
         m = tv(ref, run)
@@ -405,7 +600,8 @@ def report(geo, out_dir):
 
 def main():
     geo = _geo()
-    assert geo in ("imagenet", "panoptic", "panoptic_large", "trained"), geo
+    assert geo in ("imagenet", "panoptic", "panoptic_large", "trained",
+                   "trained_panoptic"), geo
     out_dir = os.path.join(
         os.environ.get("QG_DIR", "/root/repo/quality_gate"), geo)
     n = int(os.environ.get("QG_N", "1024"))
@@ -415,7 +611,10 @@ def main():
             report(geo, out_dir)
         elif spec.startswith("train"):
             _, _, secs = spec.partition("=")
-            train_gate_model(float(secs) if secs else 600.0)
+            if geo == "trained_panoptic":
+                train_gate_panoptic(float(secs) if secs else 900.0, batch)
+            else:
+                train_gate_model(float(secs) if secs else 600.0)
         else:
             run_spec(geo, spec, out_dir, n, batch)
 

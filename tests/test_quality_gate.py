@@ -1,0 +1,127 @@
+"""Host-side logic of the distribution-level quality gate
+(scripts/quality_gate.py): spec parsing, report verdict math over synthetic
+statistics, and the coupled class assets the trained_panoptic geometry
+learns.  The on-chip evidence lives in quality_gate/*/report.json + BENCH.md."""
+import importlib.util
+import json
+import os
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture(scope="module")
+def qg():
+    spec = importlib.util.spec_from_file_location(
+        "quality_gate", os.path.join(REPO, "scripts", "quality_gate.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_parse_spec(qg):
+    assert qg.parse_spec("exactA") == (0.0, None, False, 50)
+    assert qg.parse_spec("gelu") == (0.0, None, True, 50)
+    assert qg.parse_spec("accel=0.2") == (0.2, None, False, 50)
+    assert qg.parse_spec("interval=0.0,0.5") == (0.0, (0.0, 0.5), False, 50)
+    assert qg.parse_spec("combo=0.2:0.0,0.5") == (0.2, (0.0, 0.5), False, 50)
+    assert qg.parse_spec("full=0.3:0.1,0.6") == (0.3, (0.1, 0.6), True, 50)
+    assert qg.parse_spec("steps=25") == (0.0, None, False, 25)
+    with pytest.raises(SystemExit):
+        qg.parse_spec("bogus=1")
+
+
+def _write_run(out_dir, spec, mu, sigma, mask_hist=None, n=256):
+    np.savez(
+        os.path.join(out_dir, f"{spec.replace(':', '_').replace(',', '-')}.npz"),
+        mu=mu, sigma=sigma,
+        mask_hist=np.zeros(256, np.int64) if mask_hist is None else mask_hist,
+        n=n, wall=1.0, spec=spec,
+    )
+
+
+def test_report_verdicts(qg, tmp_path, capsys):
+    """PASS <= 2x floor, MARGINAL 2-5x, FAIL > 5x — on analytic Gaussians
+    where the Frechet distance is exact: FD between two d-dim standard
+    normals with mean offset delta is d*delta^2 (same covariance)."""
+    d = 8
+    rs = np.random.RandomState(0)
+    sigma = np.eye(d)
+    out = str(tmp_path)
+
+    def mu_off(delta):
+        return np.full(d, delta)
+
+    # exact seeds: pairwise FD = d * 0.01^2 = 8e-4 each -> floor = 8e-4
+    _write_run(out, "exactA", mu_off(0.00), sigma)
+    _write_run(out, "exactB", mu_off(0.01), sigma)
+    # modes at known multiples of the floor
+    _write_run(out, "modepass", mu_off(0.01), sigma)       # 1.0x floor
+    _write_run(out, "modemarginal", mu_off(0.018), sigma)  # 3.24x
+    _write_run(out, "modefail", mu_off(0.05), sigma)       # 25x
+    qg.report("testgeo", out)
+    with open(os.path.join(out, "report.json")) as f:
+        rep = json.load(f)
+    assert rep["fd_floor"] == pytest.approx(8e-4, rel=1e-6)
+    assert rep["modes"]["modepass"]["verdict"] == "PASS"
+    assert rep["modes"]["modemarginal"]["verdict"] == "MARGINAL"
+    assert rep["modes"]["modefail"]["verdict"] == "FAIL"
+    assert rep["modes"]["modefail"]["fd"] == pytest.approx(8 * 0.05 ** 2, rel=1e-6)
+    del rs
+
+
+def test_report_mask_tv(qg, tmp_path):
+    """Panoptic runs add a mask-id histogram total-variation proxy; a mode
+    whose histogram shifts far beyond the seed floor must FAIL even when the
+    image FD passes."""
+    d = 4
+    sigma = np.eye(d)
+    out = str(tmp_path)
+    base = np.zeros(256, np.int64)
+    base[:4] = [700, 100, 100, 100]
+    jitter = base.copy()
+    jitter[:4] = [690, 110, 100, 100]  # TV floor = 0.01
+    shifted = base.copy()
+    shifted[:4] = [100, 700, 100, 100]  # TV = 0.6 >> 5x floor
+    _write_run(out, "exactA", np.zeros(d), sigma, mask_hist=base)
+    _write_run(out, "exactB", np.zeros(d), sigma, mask_hist=jitter)
+    _write_run(out, "modeshift", np.zeros(d), sigma, mask_hist=shifted)
+    qg.report("testgeo", out)
+    with open(os.path.join(out, "report.json")) as f:
+        rep = json.load(f)
+    assert rep["tv_floor"] == pytest.approx(0.01)
+    mode = rep["modes"]["modeshift"]
+    assert mode["fd"] == pytest.approx(0.0, abs=1e-12)
+    assert mode["mask_tv"] == pytest.approx(0.6)
+    assert mode["verdict"] == "FAIL"
+
+
+def test_panoptic_class_assets_coupled(qg):
+    """The trained_panoptic distribution must couple image and mask: the
+    mask ids are a quantization of the class pattern's first channel, ids
+    are class-disjoint, and everything is deterministic."""
+    pats, masks, ctxs = qg._panoptic_class_assets()
+    pats2, masks2, ctxs2 = qg._panoptic_class_assets()
+    np.testing.assert_array_equal(masks, masks2)
+    np.testing.assert_allclose(pats, pats2)
+    np.testing.assert_allclose(ctxs, ctxs2)
+    assert pats.shape == (10, 32, 32, 4)
+    assert masks.shape == (10, 64, 64)
+    assert ctxs.shape == (10, 77, 768)
+    for c in range(10):
+        ids = set(np.unique(masks[c])) - {0}
+        assert ids <= {1 + 2 * c, 2 + 2 * c}  # class-disjoint region ids
+        up = np.repeat(np.repeat(pats[c, ..., 0], 2, 0), 2, 1)
+        np.testing.assert_array_equal(masks[c] == 1 + 2 * c, up >= 0.3)
+        np.testing.assert_array_equal(masks[c] == 2 + 2 * c, up <= -0.3)
+
+
+def test_structured_batch_deterministic(qg):
+    a = qg._structured_batch(np.random.RandomState(7), 16)
+    b = qg._structured_batch(np.random.RandomState(7), 16)
+    np.testing.assert_allclose(a[0], b[0])
+    np.testing.assert_array_equal(a[1], b[1])
+    assert a[0].shape == (16, 32, 32, 4) and a[1].shape == (16,)
