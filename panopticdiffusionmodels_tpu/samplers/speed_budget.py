@@ -11,7 +11,13 @@ outputs (round-2 verdict: "large-geometry speed modes are known-bad but
 unguarded").
 
 Budgets (from BENCH.md's accepted-noise discussion): relative image deviation
-<= 2% and analog-bit flips <= 2% vs the exact 50-NFE trajectory.
+<= 2% and analog-bit flips <= 2% vs the exact 50-NFE trajectory.  Round 3
+added DISTRIBUTION-level evidence on trained weights (scripts/quality_gate.py:
+Inception-FD + mask-id-histogram TV vs the seed-to-seed noise floor), which
+superseded one round-2 pixel verdict: cfg_interval is demoted on panoptic
+geometries (every interval shifts the trained mask-id distribution 4.7-10.3x
+the seed floor, while a 25-NFE control passes at 0.9x — the shift is real,
+not gate noise).
 """
 from __future__ import annotations
 
@@ -28,15 +34,25 @@ from absl import logging
 # 512 panoptic, secondary protocols).
 _VALIDATED = {
     # ImageNet U-ViT-L/2 and L/4 (same network; accel 0.3 measured at
-    # 2.1-2.4% rel dev -> over budget, 0.2 at ~1.2%)
+    # 2.1-2.4% rel dev -> over budget, 0.2 at ~1.2%).  Image-only stream:
+    # the round-3 trained distribution gate PASSes gelu/accel<=0.3/interval
+    # an order of magnitude below the seed-noise floor (BENCH.md round 3).
     ("uvit", 1024, 20, False): dict(max_accel=0.2, interval_ok=True, gelu_ok=True),
-    # Panoptic U-ViT-S/2 (256 and 512 res): accel 0.2 -> 1.35% bit flips
-    ("uvit_t2i", 512, 12, True): dict(max_accel=0.2, interval_ok=True, gelu_ok=True),
-    # t2i-only S model shares the image-stream trajectory measurements
+    # Panoptic U-ViT-S/2 (256 and 512 res): accel 0.2 -> 1.35% bit flips,
+    # and the round-3 TRAINED dual-stream distribution gate confirms
+    # accel=0.2 (mask-id TV 1.75x seed floor, PASS) and gelu (0.17x).
+    # cfg_interval DEMOTED (round 3): every interval tried shifts the
+    # mask-id distribution 4.7-10.3x the seed floor on trained weights —
+    # the solver's mask stream is CFG-extrapolated at every step, so any
+    # guidance gap drifts the mask ids (quality_gate/trained_panoptic).
+    ("uvit_t2i", 512, 12, True): dict(max_accel=0.2, interval_ok=False, gelu_ok=True),
+    # t2i-only S model: image stream only, shares the image-stream
+    # trajectory measurements (interval PASSes on image distributions)
     ("uvit_t2i", 512, 12, False): dict(max_accel=0.2, interval_ok=True, gelu_ok=True),
     # Panoptic U-ViT-L: accel 0.2 measured at 13.4% mask dev / 4.2% bit
-    # flips (over budget); gelu + interval-only stayed in budget.
-    ("uvit_t2i", 1024, 20, True): dict(max_accel=0.1, interval_ok=True, gelu_ok=True),
+    # flips (over budget); interval demoted with the S-model gate evidence
+    # (same mask-stream mechanism, deeper model measured MORE sensitive).
+    ("uvit_t2i", 1024, 20, True): dict(max_accel=0.1, interval_ok=False, gelu_ok=True),
 }
 
 
@@ -95,6 +111,10 @@ def check_speed_modes(config, log: bool = True) -> List[str]:
         if interval and not entry.get("interval_ok", False):
             warnings.append(
                 f"sample.cfg_interval={interval} is not validated for {label}"
+                " — on panoptic geometries the trained distribution gate"
+                " FAILed every guidance interval (mask-id TV 4.7-10.3x the"
+                " seed-noise floor; BENCH.md round 3). Use gelu_approx +"
+                " accel instead."
             )
         if gelu and not entry.get("gelu_ok", False):
             warnings.append(f"nnet.gelu_approx is not validated for {label}")

@@ -138,6 +138,10 @@ def main():
         elif kind == "gelu":  # gelu=tanh (nnet.gelu_approx)
             assert val == "tanh", f"gelu mode only supports 'tanh', got {val!r}"
             ips, img, pm = run_mode(batch, 0.0, None, gelu=True)
+        elif kind == "gelu_accel":  # interval-free combo: the panoptic
+            ips, img, pm = run_mode(batch, float(val), None, gelu=True)
+            # recommended configuration (round-3 gate: intervals shift the
+            # trained mask-id distribution; gelu+accel pass)
         elif kind == "full":  # full=<tau>:<lo>,<hi> — tanh GELU + accel + interval
             tau, _, iv = val.partition(":")
             ips, img, pm = run_mode(batch, float(tau),

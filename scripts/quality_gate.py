@@ -29,8 +29,9 @@ Usage:
   python scripts/quality_gate.py imagenet exactA exactB
   python scripts/quality_gate.py imagenet gelu accel=0.2 full=0.2:0.0,0.5
   python scripts/quality_gate.py panoptic exactA ... ; ... report
-Specs: exactA|exactB|exactC  gelu  accel=<tau>  interval=<lo>,<hi>
-       combo=<tau>:<lo>,<hi>  full=<tau>:<lo>,<hi>  report
+Specs: exactA|exactB|exactC  gelu  accel=<tau>  gelu_accel=<tau>
+       interval=<lo>,<hi>  combo=<tau>:<lo>,<hi>  full=<tau>:<lo>,<hi>
+       steps=<n>  report
 Geos:  imagenet (U-ViT-L/2 headline), panoptic (S/2), panoptic_large (L),
        trained (class-cond U-ViT trained on chip), trained_panoptic
        (dual-stream S/2 trained on a coupled latent+mask distribution —
@@ -467,6 +468,8 @@ def parse_spec(spec):
         return 0.0, None, True, 50
     if kind == "accel":
         return float(val), None, False, 50
+    if kind == "gelu_accel":  # the interval-free combo (panoptic recommended)
+        return float(val), None, True, 50
     if kind == "interval":
         return 0.0, tuple(float(v) for v in val.split(",")), False, 50
     if kind in ("combo", "full"):

@@ -11,13 +11,30 @@ def test_exact_protocol_never_warns():
 
 
 def test_validated_modes_stay_silent():
-    for name in ("mscoco_uvit_small", "imagenet256_uvit_large",
-                 "mscoco_uvit_small_512"):
+    # panoptic geometries: gelu + accel<=0.2 (cfg_interval is demoted there)
+    for name in ("mscoco_uvit_small", "mscoco_uvit_small_512"):
         config = get_config(name)
         config.sample.accel = 0.2
-        config.sample.cfg_interval = (0.0, 0.5)
         config.nnet.gelu_approx = True
         assert check_speed_modes(config, log=False) == [], name
+    # image-only flagship: all three modes validated (trained gate PASS)
+    config = get_config("imagenet256_uvit_large")
+    config.sample.accel = 0.2
+    config.sample.cfg_interval = (0.0, 0.5)
+    config.nnet.gelu_approx = True
+    assert check_speed_modes(config, log=False) == []
+
+
+def test_panoptic_interval_demoted():
+    """Round-3 trained distribution gate: every guidance interval shifts the
+    mask-id distribution well past the seed floor — enabling one on a
+    panoptic geometry must warn and point at the validated alternative."""
+    for name in ("mscoco_uvit_small", "mscoco_uvit_large"):
+        config = get_config(name)
+        config.sample.cfg_interval = (0.0, 0.5)
+        warnings = check_speed_modes(config, log=False)
+        assert len(warnings) == 1 and "not validated" in warnings[0], name
+        assert "gelu_approx" in warnings[0]  # names the validated substitute
 
 
 def test_large_panoptic_accel_over_budget_warns():
@@ -32,9 +49,9 @@ def test_large_panoptic_accel_over_budget_warns():
     assert check_speed_modes(config, log=False) == []
 
 
-def test_large_panoptic_interval_only_is_validated():
+def test_large_panoptic_gelu_accel_is_validated():
     config = get_config("mscoco_uvit_large")
-    config.sample.cfg_interval = (0.0, 0.5)
+    config.sample.accel = 0.1
     config.nnet.gelu_approx = True
     assert check_speed_modes(config, log=False) == []
 
