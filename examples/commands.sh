@@ -36,13 +36,18 @@ python -m panopticdiffusionmodels_tpu.evaluation.clip_score \
 # --- sampling ---------------------------------------------------------------
 python sample.py --config=mscoco_uvit_small
 
-# opt-in speed modes (exact protocol when unset; see BENCH.md for the
-# measured speed/deviation trade):
+# opt-in speed modes (exact protocol when unset; BENCH.md has the measured
+# speed/deviation trade and the distribution-level quality-gate verdicts):
 #   forecast-skip (~2.4x)                 --config.sample.accel=0.2
 #   guidance interval (1.3x, 2404.07724)  --config.sample.cfg_interval="(0.0,0.5)"
 #   tanh GELU (~1.2-1.3x)                 --config.nnet.gelu_approx=True
-# full combo: ~3.5-3.7x the exact protocol at ~1.2% trajectory deviation
+# PANOPTIC recommended combo (gate-validated; cfg_interval is DEMOTED on
+# panoptic geometries — it shifts the trained mask-id distribution, and the
+# speed-budget guardrail warns): gelu + accel only, 2.96x
 python sample.py --config=mscoco_uvit_small \
+    --config.nnet.gelu_approx=True --config.sample.accel=0.2
+# image-only flagship: all three compose (gate-PASS), 3.48x
+python sample.py --config=imagenet256_uvit_large \
     --config.nnet.gelu_approx=True \
     --config.sample.accel=0.2 --config.sample.cfg_interval="(0.0,0.5)"
 
