@@ -99,6 +99,62 @@ def test_report_mask_tv(qg, tmp_path):
     assert mode["verdict"] == "FAIL"
 
 
+def _write_acts_run(out_dir, spec, acts, n=None):
+    acts = np.asarray(acts, np.float32)
+    np.savez(
+        os.path.join(out_dir, f"{spec.replace(':', '_').replace(',', '-')}.npz"),
+        mu=acts.mean(0), sigma=np.cov(acts, rowvar=False),
+        mask_hist=np.zeros(256, np.int64),
+        n=len(acts) if n is None else n, wall=1.0, spec=spec, acts=acts,
+    )
+
+
+def test_report_kid_channel_armed(qg, tmp_path):
+    """When runs carry raw activations the image verdict comes from KID.
+    Regime d > N (the real gate's D=2048, N=1024): a mean shift that the
+    bias-floored FD channel scores BELOW the seed floor must still FAIL the
+    KID channel — this is exactly the 10-NFE positive control that slipped
+    through the FD-only gate."""
+    d, n = 512, 256
+    rs = np.random.RandomState(0)
+    a = rs.normal(size=(n, d))
+    b = rs.normal(size=(n, d))
+    shifted = rs.normal(size=(n, d)) + 0.15
+    out = str(tmp_path)
+    _write_acts_run(out, "exactA", a)
+    _write_acts_run(out, "exactB", b)
+    _write_acts_run(out, "modeshift", shifted)
+    _write_acts_run(out, "modeok", a + 0.001 * rs.normal(size=(n, d)))
+    qg.report("testgeo", out)
+    with open(os.path.join(out, "report.json")) as f:
+        rep = json.load(f)
+    assert rep["kid_floor"] is not None
+    shift = rep["modes"]["modeshift"]
+    # the FD channel is blind here (shift below ~2x its bias floor)...
+    assert shift["fd_ratio"] < 2.0
+    # ...but the unbiased KID channel flags it decisively
+    assert shift["kid_ratio"] > 5.0
+    assert shift["verdict"] == "FAIL"
+    ok = rep["modes"]["modeok"]
+    assert ok["kid_ratio"] <= 2.0 and ok["verdict"] == "PASS"
+
+
+def test_report_kid_falls_back_without_acts(qg, tmp_path):
+    """A mix of acts-bearing and legacy stats-only runs degrades to the FD
+    channel (the KID floor needs every run's activations)."""
+    d, n = 32, 64
+    rs = np.random.RandomState(1)
+    out = str(tmp_path)
+    _write_acts_run(out, "exactA", rs.normal(size=(n, d)))
+    _write_run(out, "exactB", np.zeros(d), np.eye(d))
+    _write_run(out, "modex", np.zeros(d), np.eye(d))
+    qg.report("testgeo", out)
+    with open(os.path.join(out, "report.json")) as f:
+        rep = json.load(f)
+    assert rep["kid_floor"] is None
+    assert "kid" not in rep["modes"]["modex"]
+
+
 def test_panoptic_class_assets_coupled(qg):
     """The trained_panoptic distribution must couple image and mask: the
     mask ids are a quantization of the class pattern's first channel, ids
