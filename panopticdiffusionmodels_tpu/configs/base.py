@@ -124,7 +124,8 @@ def uvit_t2i(img_size, patch_size, embed_dim, depth, num_heads, in_chans=4,
 
 
 def sample_block(sample_steps, n_samples, mini_batch_size, algorithm="dpm_solver",
-                 cfg=False, scale=0.0, path="", accel=0.0, cfg_interval=()):
+                 cfg=False, scale=0.0, path="", accel=0.0, cfg_interval=(),
+                 cfg_interval_mask_hold=True):
     # accel: forecast-skip logSNR threshold for DPM-Solver (0.0 = off, the
     # exact FID protocol; >0 trades NFE for throughput, quality-affecting).
     # cfg_interval: (lo, hi) in continuous model time (0, 1] — guidance is
@@ -132,6 +133,11 @@ def sample_block(sample_steps, n_samples, mini_batch_size, algorithm="dpm_solver
     # (arXiv:2404.07724); steps outside run one cond-only forward (half the
     # FLOPs).  () = guidance at every step (the exact reference protocol).
     # DPM-Solver algorithms only; the PNDM path ignores it.
+    # cfg_interval_mask_hold: panoptic + cfg_interval only — hold the CFG
+    # mask-guidance correction across unguided steps instead of dropping it
+    # (the plain-interval mode drifts the trained mask-id distribution
+    # 4.7-10.3x the seed floor, quality_gate/trained_panoptic).  No effect on
+    # image-only models or when cfg_interval is unset.
     return d(
         sample_steps=sample_steps,
         n_samples=n_samples,
@@ -142,4 +148,5 @@ def sample_block(sample_steps, n_samples, mini_batch_size, algorithm="dpm_solver
         path=path,
         accel=accel,
         cfg_interval=tuple(cfg_interval),
+        cfg_interval_mask_hold=cfg_interval_mask_hold,
     )

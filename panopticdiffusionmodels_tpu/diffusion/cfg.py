@@ -34,7 +34,8 @@ def make_cfg_t2i(
     """
     empty_context = jnp.asarray(empty_context)
 
-    def cfg_fn(x, t, context, mask_token=None, cfg_on: bool = True):
+    def cfg_fn(x, t, context, mask_token=None, cfg_on: bool = True,
+               want_mask_delta: bool = False):
         if not enabled or scale == 0.0 or not cfg_on:
             return apply_fn(x, t, context, mask_token=mask_token)
         b = x.shape[0]
@@ -50,7 +51,15 @@ def make_cfg_t2i(
         noise, pred_mask = apply_fn(x2, t2, ctx2, mask_token=m2)
         n_c, n_u = jnp.split(noise, 2)
         m_c, m_u = jnp.split(pred_mask, 2)
-        return n_c + scale * (n_c - n_u), m_c + scale * (m_c - m_u)
+        delta = scale * (m_c - m_u)
+        if want_mask_delta:
+            # Third output: the guidance correction itself.  The solver's
+            # mask-hold mode (DPMSolver(mask_guidance_hold=True)) caches it at
+            # guided steps and re-applies it during cfg_on=False steps, so a
+            # guidance interval no longer zeroes the mask extrapolation the
+            # reference applies at EVERY step (train_t2i_discrete.py:429).
+            return n_c + scale * (n_c - n_u), m_c + delta, delta
+        return n_c + scale * (n_c - n_u), m_c + delta
 
     return cfg_fn
 

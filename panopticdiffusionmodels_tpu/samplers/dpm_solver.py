@@ -162,6 +162,7 @@ class DPMSolver:
         solver_type: str = "dpm_solver",
         accel_tau: float = 0.0,
         cfg_interval: Optional[Tuple[float, float]] = None,
+        mask_guidance_hold: bool = False,
     ):
         assert solver_type in ("dpm_solver", "taylor")
         self.model = model_fn
@@ -200,17 +201,43 @@ class DPMSolver:
                     " interval would silently disable guidance at every step"
                 )
             self.cfg_interval = (lo, hi)
+        # Mask-hold guidance (opt-in, panoptic + cfg_interval only): during
+        # cfg_on=False steps the plain interval mode leaves the mask stream
+        # cond-only, which the round-3 trained distribution gate showed drifts
+        # the mask-id distribution 4.7-10.3x the seed floor (the reference
+        # extrapolates the mask at EVERY step, train_t2i_discrete.py:429).
+        # With the hold, the CFG wrapper's guidance correction
+        # scale*(m_c - m_u) is cached at each guided eval (requires a model_fn
+        # accepting want_mask_delta=True, see diffusion/cfg.py) and re-applied
+        # additively to the cond-only mask prediction during unguided steps —
+        # the correction is smooth in lambda, so a zero-order hold across the
+        # interval boundary is far closer to the every-step protocol than
+        # dropping it.  Image stream is untouched.
+        self.mask_guidance_hold = bool(mask_guidance_hold)
+        if self.mask_guidance_hold and self.cfg_interval is None:
+            raise ValueError(
+                "mask_guidance_hold requires cfg_interval — without an "
+                "interval every step is guided and there is nothing to hold"
+            )
 
     # --- device-side pieces -------------------------------------------------
 
     def _net(self, x, t: Any, sigma_t, alpha_t, mask_token, cfg_on: bool = True):
         """One real network eval; in predict_x0 mode convert noise -> x0 using
-        the host-precomputed (sigma_t, alpha_t) for this model time."""
+        the host-precomputed (sigma_t, alpha_t) for this model time.  Returns
+        (out, pred_mask, gd): gd is the CFG mask-guidance delta when the
+        mask-hold mode is active on a guided step, else None."""
         t_vec = jnp.full((x.shape[0],), t, dtype=x.dtype)
         kw = {} if self.cfg_interval is None else {"cfg_on": cfg_on}
+        gd = None
         if mask_token is None:
             out = self.model(x, t_vec, **kw)
             noise, pred_mask = (out if isinstance(out, tuple) else (out, None))
+        elif self.mask_guidance_hold and cfg_on:
+            noise, pred_mask, gd = self.model(
+                x, t_vec, mask_token=mask_token, want_mask_delta=True, **kw
+            )
+            gd = gd.astype(x.dtype)
         else:
             noise, pred_mask = self.model(x, t_vec, mask_token=mask_token, **kw)
         # Solver state stays in the caller's dtype (f32): a bf16-compute network
@@ -219,7 +246,7 @@ class DPMSolver:
         if pred_mask is not None:
             pred_mask = pred_mask.astype(x.dtype)
         if not self.predict_x0:
-            return noise, pred_mask
+            return noise, pred_mask, gd
         x0 = (x - _bcast(sigma_t, x) * noise) / _bcast(alpha_t, x)
         if self.thresholding:
             p = 0.995
@@ -228,39 +255,65 @@ class DPMSolver:
             )
             s = jnp.maximum(s, 1.0).reshape(-1, *([1] * (x0.ndim - 1)))
             x0 = jnp.clip(x0, -s, s) / (s / self.max_val)
-        return x0, pred_mask
+        return x0, pred_mask, gd
 
     def init_forecast(self, x, mask_token):
-        """Initial forecast-cache carry (None when acceleration is off)."""
-        if not self.accel_tau:
-            return None
-        fc = {
-            "y1": jnp.zeros_like(x), "y2": jnp.zeros_like(x),
-            "lam1": jnp.zeros((), x.dtype), "lam2": jnp.zeros((), x.dtype),
-            "k": jnp.zeros((), jnp.int32),
-        }
-        if mask_token is not None:
-            fc["m1"] = jnp.zeros_like(mask_token)
-            fc["m2"] = jnp.zeros_like(mask_token)
-        return fc
+        """Initial solver cache carry: forecast-skip entries when accel_tau is
+        on, plus the held mask-guidance delta 'gd' when mask_guidance_hold is
+        on.  None when neither mode needs state."""
+        fc = {}
+        if self.accel_tau:
+            fc.update({
+                "y1": jnp.zeros_like(x), "y2": jnp.zeros_like(x),
+                "lam1": jnp.zeros((), x.dtype), "lam2": jnp.zeros((), x.dtype),
+                "k": jnp.zeros((), jnp.int32),
+            })
+            if mask_token is not None:
+                fc["m1"] = jnp.zeros_like(mask_token)
+                fc["m2"] = jnp.zeros_like(mask_token)
+        if self.mask_guidance_hold and mask_token is not None:
+            # zeros = no correction until the first guided eval fills it, which
+            # is exactly the plain-interval behavior for a leading cfg-off run.
+            fc["gd"] = jnp.zeros_like(mask_token)
+        return fc or None
 
     def _call_model(self, x, t: Any, sigma_t, alpha_t, mask_token, fc=None,
                     cfg_on: bool = True):
-        """Network eval with optional forecast-skip.  Returns (out, pred_mask,
-        fc').  lambda at the eval point comes from the traced (sigma, alpha)
-        scalars, so no extra coefficient tables are needed."""
+        """Network eval with optional forecast-skip and mask-guidance hold.
+        Returns (out, pred_mask, fc').  lambda at the eval point comes from the
+        traced (sigma, alpha) scalars, so no extra coefficient tables are
+        needed."""
         if fc is None:
-            out, pred_mask = self._net(x, t, sigma_t, alpha_t, mask_token, cfg_on)
+            out, pred_mask, _ = self._net(x, t, sigma_t, alpha_t, mask_token, cfg_on)
             return out, pred_mask, None
 
         has_mask = mask_token is not None
+        hold = has_mask and "gd" in fc
+
+        def real_eval(cache):
+            """One true network eval + mask-hold bookkeeping.  cfg_on is
+            STATIC (host-resolved per scan group), so the branch is free."""
+            out, pm, gd = self._net(x, t, sigma_t, alpha_t, mask_token, cfg_on)
+            new = dict(cache)
+            if hold:
+                if cfg_on:
+                    new["gd"] = gd
+                else:
+                    pm = pm + cache["gd"]
+            return out, pm, new
+
+        if not self.accel_tau:
+            return real_eval(fc)
+
         lam = (jnp.log(_bcast(alpha_t, jnp.zeros(())))
                - jnp.log(_bcast(sigma_t, jnp.zeros(())))).astype(x.dtype)
 
         def real(_):
-            out, pm = self._net(x, t, sigma_t, alpha_t, mask_token, cfg_on)
-            new = {"y1": out, "y2": fc["y1"], "lam1": lam, "lam2": fc["lam1"],
-                   "k": fc["k"] + 1}
+            out, pm, new = real_eval(fc)
+            # m1/m2 cache the HELD-corrected mask outputs: the forecast then
+            # extrapolates the same trajectory the solver integrates.
+            new.update({"y1": out, "y2": fc["y1"], "lam1": lam,
+                        "lam2": fc["lam1"], "k": fc["k"] + 1})
             if has_mask:
                 new["m1"], new["m2"] = pm, fc["m1"]
             return (out, pm, new) if has_mask else (out, new)
@@ -644,7 +697,9 @@ class DPMSolver:
             # extrapolating across the flip would emit a mixture.  Resetting
             # the cache counter forces real evals until two same-protocol
             # outputs rebuild it (host-static: group flags are static).
-            if fc is not None and prev_cfg is not None and group_cfg != prev_cfg:
+            # (the held guidance delta 'gd' deliberately survives the flip —
+            # carrying guidance across the boundary is its whole purpose)
+            if fc is not None and "k" in fc and prev_cfg is not None and group_cfg != prev_cfg:
                 fc = {**fc, "k": jnp.zeros((), jnp.int32)}
             prev_cfg = group_cfg
             update = getattr(self, self._UPDATES[group_order])

@@ -196,6 +196,7 @@ class GenerationPipeline:
         task = config.get("task", "")
         algorithm = config.sample.get("algorithm", "dpm_solver")
         key_shape = (n, steps, scale, cfg_enabled, accel_tau, cfg_interval,
+                     bool(config.sample.get("cfg_interval_mask_hold", True)),
                      algorithm, task)
         if key_shape in self._jitted:
             return self._jitted[key_shape]
@@ -304,11 +305,16 @@ class GenerationPipeline:
                     empty, scale=scale, enabled=cfg_enabled,
                 )
                 solver = DPMSolver(
-                    lambda xx, tt, mask_token=None, cfg_on=True: cfg_fn(
-                        xx, tt * N, context, mask_token=mask_token, cfg_on=cfg_on
+                    lambda xx, tt, mask_token=None, cfg_on=True, **mkw: cfg_fn(
+                        xx, tt * N, context, mask_token=mask_token, cfg_on=cfg_on,
+                        **mkw
                     ),
                     self.ns, predict_x0=True,
                     accel_tau=accel_tau, cfg_interval=cfg_interval,
+                    mask_guidance_hold=bool(
+                        cfg_interval and self.panoptic and cfg_enabled and scale
+                        and config.sample.get("cfg_interval_mask_hold", True)
+                    ),
                 )
                 k1, k2 = jax.random.split(key)
                 z = jax.random.normal(k1, (n, *z_shape))

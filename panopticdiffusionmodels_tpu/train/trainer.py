@@ -521,12 +521,20 @@ class Trainer:
                 z = pndm_sample(model_fn, z_init, steps, acp,
                                 num_train_timesteps=N)
                 return maybe_decode(vae_params, z)
+            cfg_interval = tuple(config.sample.get("cfg_interval", ())) or None
             solver = DPMSolver(
-                lambda xx, tt, mask_token=None, cfg_on=True: cfg_fn(
-                    xx, tt * N, context, mask_token=mask_token, cfg_on=cfg_on),
+                lambda xx, tt, mask_token=None, cfg_on=True, **mkw: cfg_fn(
+                    xx, tt * N, context, mask_token=mask_token, cfg_on=cfg_on,
+                    **mkw),
                 self.noise_schedule, predict_x0=True,
                 accel_tau=config.sample.get("accel", 0.0),
-                cfg_interval=tuple(config.sample.get("cfg_interval", ())) or None,
+                cfg_interval=cfg_interval,
+                # hold the CFG mask correction across unguided steps (gate
+                # evidence: plain interval drifts the mask-id distribution)
+                mask_guidance_hold=bool(
+                    cfg_interval and panoptic_on and cfg_enabled and scale
+                    and config.sample.get("cfg_interval_mask_hold", True)
+                ),
             )
             if panoptic_on:
                 if use_gt:

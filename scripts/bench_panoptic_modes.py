@@ -38,7 +38,7 @@ GEOS = {
 }
 
 
-def build(batch, accel, interval, gelu=False):
+def build(batch, accel, interval, gelu=False, hold=False):
     geo = GEOS[os.environ.get("BENCH_GEO", "256")]
     from panopticdiffusionmodels_tpu.diffusion import (
         Schedule,
@@ -80,9 +80,11 @@ def build(batch, accel, interval, gelu=False):
             empty_context, scale=1.0, enabled=True,
         )
         solver = DPMSolver(
-            lambda xx, tt, mask_token=None, cfg_on=True: cfg_fn(
-                xx, tt * schedule.N, context, mask_token=mask_token, cfg_on=cfg_on),
+            lambda xx, tt, mask_token=None, cfg_on=True, **mkw: cfg_fn(
+                xx, tt * schedule.N, context, mask_token=mask_token,
+                cfg_on=cfg_on, **mkw),
             ns, predict_x0=True, accel_tau=accel, cfg_interval=interval,
+            mask_guidance_hold=hold,
         )
         k1, k2 = jax.random.split(key)
         z = jax.random.normal(k1, (batch, geo["img"], geo["img"], 4))
@@ -97,8 +99,8 @@ def build(batch, accel, interval, gelu=False):
     return pipeline, params, vae_params
 
 
-def run_mode(batch, accel, interval, gelu=False):
-    pipeline, params, vae_params = build(batch, accel, interval, gelu)
+def run_mode(batch, accel, interval, gelu=False, hold=False):
+    pipeline, params, vae_params = build(batch, accel, interval, gelu, hold)
     key = jax.random.PRNGKey(7)
     ctx = jnp.zeros((batch, 77, 768))
 
@@ -147,6 +149,15 @@ def main():
             ips, img, pm = run_mode(batch, float(tau),
                                     tuple(float(v) for v in iv.split(",")),
                                     gelu=True)
+        elif kind == "ihold":  # ihold=<lo>,<hi> — interval + mask-guidance hold
+            ips, img, pm = run_mode(batch, 0.0,
+                                    tuple(float(v) for v in val.split(",")),
+                                    hold=True)
+        elif kind == "full_hold":  # full_hold=<tau>:<lo>,<hi> — gelu+accel+
+            tau, _, iv = val.partition(":")  # interval with the mask hold
+            ips, img, pm = run_mode(batch, float(tau),
+                                    tuple(float(v) for v in iv.split(",")),
+                                    gelu=True, hold=True)
         else:
             raise SystemExit(f"unknown mode {mode}")
         rel_img = float(np.linalg.norm(img - img0)) / float(np.linalg.norm(img0))

@@ -104,7 +104,7 @@ def _build_imagenet(batch, accel, interval, gelu, steps=50):
     return pipeline, params, vae_params, cond
 
 
-def _build_panoptic(batch, accel, interval, gelu, large):
+def _build_panoptic(batch, accel, interval, gelu, large, hold=False):
     os.environ["BENCH_GEO"] = "large" if large else "256"
     import importlib.util
 
@@ -115,7 +115,8 @@ def _build_panoptic(batch, accel, interval, gelu, large):
     )
     bpm = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(bpm)
-    pipeline, params, vae_params = bpm.build(batch, accel, interval, gelu)
+    pipeline, params, vae_params = bpm.build(batch, accel, interval, gelu,
+                                             hold=hold)
 
     def cond(i):  # CLIP-shaped contexts: fixed per batch index, shared by runs
         return jax.random.normal(jax.random.PRNGKey(7000 + i), (batch, 77, 768))
@@ -404,7 +405,7 @@ def train_gate_panoptic(seconds: float = 900.0, batch: int = 32):
           f"loss_mask {lm:.4f} -> {_TRAINED_PANOPTIC_PARAMS}")
 
 
-def _build_trained_panoptic(batch, accel, interval, gelu, steps):
+def _build_trained_panoptic(batch, accel, interval, gelu, steps, hold=False):
     """Sampling pipeline over the TRAINED dual-stream model: the headline
     panoptic protocol shape (50-NFE mask-aware fast plan, t2i CFG scale 1.0
     with mask extrapolation, VAE decode)."""
@@ -446,10 +447,11 @@ def _build_trained_panoptic(batch, accel, interval, gelu, steps):
             empty_context, scale=1.0, enabled=True,
         )
         solver = DPMSolver(
-            lambda xx, tt, mask_token=None, cfg_on=True: cfg_fn(
+            lambda xx, tt, mask_token=None, cfg_on=True, **mkw: cfg_fn(
                 xx, tt * schedule.N, context, mask_token=mask_token,
-                cfg_on=cfg_on),
+                cfg_on=cfg_on, **mkw),
             ns, predict_x0=True, accel_tau=accel, cfg_interval=interval,
+            mask_guidance_hold=hold,
         )
         k1, k2 = jax.random.split(key)
         z = jax.random.normal(k1, (batch, 32, 32, 4))
@@ -471,24 +473,28 @@ def _build_trained_panoptic(batch, accel, interval, gelu, steps):
 
 
 def parse_spec(spec):
-    """spec -> (accel, interval, gelu, steps)"""
+    """spec -> (accel, interval, gelu, steps, hold)"""
     if spec.startswith("exact"):
-        return 0.0, None, False, 50
+        return 0.0, None, False, 50, False
     kind, _, val = spec.partition("=")
     if kind == "steps":  # positive control: off-protocol NFE count — a real
-        return 0.0, None, False, int(val)  # distribution shift the gate MUST flag
+        return 0.0, None, False, int(val), False  # shift the gate MUST flag
     if kind == "gelu":
-        return 0.0, None, True, 50
+        return 0.0, None, True, 50, False
     if kind == "accel":
-        return float(val), None, False, 50
+        return float(val), None, False, 50, False
     if kind == "gelu_accel":  # the interval-free combo (panoptic recommended)
-        return float(val), None, True, 50
+        return float(val), None, True, 50, False
     if kind == "interval":
-        return 0.0, tuple(float(v) for v in val.split(",")), False, 50
-    if kind in ("combo", "full"):
+        return 0.0, tuple(float(v) for v in val.split(",")), False, 50, False
+    if kind == "ihold":  # interval + mask-guidance hold (DPMSolver(
+        # mask_guidance_hold=True)): the CFG mask correction is held across
+        # unguided steps instead of dropped
+        return 0.0, tuple(float(v) for v in val.split(",")), False, 50, True
+    if kind in ("combo", "full", "full_hold"):
         tau, _, iv = val.partition(":")
         return (float(tau), tuple(float(v) for v in iv.split(",")),
-                kind == "full", 50)
+                kind in ("full", "full_hold"), 50, kind == "full_hold")
     raise SystemExit(f"unknown spec {spec!r}")
 
 
@@ -498,21 +504,23 @@ def run_spec(geo, spec, out_dir, n, batch):
         random_params,
     )
 
-    accel, interval, gelu, steps = parse_spec(spec)
+    accel, interval, gelu, steps, hold = parse_spec(spec)
     large = geo == "panoptic_large"
     if geo == "imagenet":
+        assert not hold, "mask-hold specs need a panoptic geometry"
         pipeline, params, vae_params, cond = _build_imagenet(
             batch, accel, interval, gelu, steps)
     elif geo == "trained":
+        assert not hold, "mask-hold specs need a panoptic geometry"
         pipeline, params, vae_params, cond = _build_trained(
             batch, accel, interval, gelu, steps)
     elif geo == "trained_panoptic":
         pipeline, params, vae_params, cond = _build_trained_panoptic(
-            batch, accel, interval, gelu, steps)
+            batch, accel, interval, gelu, steps, hold)
     else:
         assert steps == 50, "steps control needs a steps-aware pipeline builder"
         pipeline, params, vae_params, cond = _build_panoptic(
-            batch, accel, interval, gelu, large)
+            batch, accel, interval, gelu, large, hold)
     # device_put ONCE: make_extractor passes the ~95 MB weight tree as an
     # argument each call, and host-numpy leaves would re-cross the tunnel
     # per batch (measured: 41 s/batch instead of ~5).

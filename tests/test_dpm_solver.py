@@ -463,3 +463,154 @@ def test_cfg_interval_validation():
         DPMSolver(model, ns, cfg_interval=(0.5,))
     # well-formed intervals construct fine
     DPMSolver(model, ns, cfg_interval=(0.2, 0.9))
+
+
+# --- mask-guidance hold (cfg_interval_mask_hold; round 3) ---------------------
+#
+# Plain cfg_interval drops the CFG mask extrapolation during unguided steps,
+# which the trained distribution gate showed drifts the mask-id distribution
+# 4.7-10.3x the seed floor (quality_gate/trained_panoptic).  With
+# DPMSolver(mask_guidance_hold=True) the guidance correction from the most
+# recent guided eval is cached in the scan carry and re-applied additively
+# during cfg_on=False steps.
+
+
+def _held_delta_model(c, ns, delta):
+    """Delta model with a CONSTANT mask-guidance correction `delta`: guided
+    evals return (noise, M + delta, delta) under want_mask_delta, unguided
+    evals return the bare cond output (noise, M).  Because the true correction
+    is constant in time, a correct hold makes the interval run EXACTLY equal
+    to an always-guided run — any mismatch is a bookkeeping bug."""
+    base = _delta_model(c, ns)
+
+    def model(x, t_vec, mask_token=None, cfg_on=True, want_mask_delta=False):
+        noise, pm = base(x, t_vec, mask_token=mask_token)
+        if cfg_on:
+            d = jnp.full_like(pm, delta)
+            guided = pm + d
+            return (noise, guided, d) if want_mask_delta else (noise, guided)
+        assert not want_mask_delta  # solver must not ask for it when unguided
+        return noise, pm
+
+    return model
+
+
+def test_mask_hold_requires_interval():
+    ns = _ns()
+    with pytest.raises(ValueError):
+        DPMSolver(_delta_model(0.1, ns), ns, mask_guidance_hold=True)
+
+
+def test_mask_hold_equals_always_guided_for_constant_delta(rng):
+    """Guidance ON early (interval (0.5, 1.0)) fills the cache; the held
+    correction then makes every later cond-only step match the always-guided
+    trajectory bit-for-bit (the true delta is constant)."""
+    ns = _ns()
+    delta = 0.25
+    k1, k2 = jax.random.split(rng)
+    x_T = jax.random.normal(k1, (2, 4, 4, 4))
+    m_T = jax.random.normal(k2, (2, 8, 8, 8))
+
+    hold = DPMSolver(_held_delta_model(0.2, ns, delta), ns, predict_x0=True,
+                     cfg_interval=(0.5, 1.0), mask_guidance_hold=True)
+    x_h, pm_h = jax.jit(lambda x, m: hold.sample(
+        x, steps=20, eps=1e-3, order=3, method="fast", mask_token=m))(x_T, m_T)
+
+    def guided_model(x, t_vec, mask_token=None):
+        noise, pm = _delta_model(0.2, ns)(x, t_vec, mask_token=mask_token)
+        return noise, pm + delta
+
+    ref = DPMSolver(guided_model, ns, predict_x0=True)
+    x_r, pm_r = jax.jit(lambda x, m: ref.sample(
+        x, steps=20, eps=1e-3, order=3, method="fast", mask_token=m))(x_T, m_T)
+
+    np.testing.assert_array_equal(np.asarray(x_h), np.asarray(x_r))
+    np.testing.assert_allclose(np.asarray(pm_h), np.asarray(pm_r),
+                               rtol=0, atol=1e-6)
+
+
+def test_mask_hold_differs_from_plain_interval(rng):
+    """The hold must actually change the unguided-step mask trajectory (plain
+    interval = dropped correction)."""
+    ns = _ns()
+    k1, k2 = jax.random.split(rng)
+    x_T = jax.random.normal(k1, (1, 4, 4, 4))
+    m_T = jax.random.normal(k2, (1, 8, 8, 8))
+    kw = dict(predict_x0=True, cfg_interval=(0.5, 1.0))
+    model = _held_delta_model(0.2, ns, 0.25)
+    _, pm_plain = DPMSolver(model, ns, **kw).sample(
+        x_T, steps=20, eps=1e-3, order=3, method="fast", mask_token=m_T)
+    _, pm_hold = DPMSolver(model, ns, mask_guidance_hold=True, **kw).sample(
+        x_T, steps=20, eps=1e-3, order=3, method="fast", mask_token=m_T)
+    assert not np.allclose(np.asarray(pm_plain), np.asarray(pm_hold))
+
+
+def test_mask_hold_leading_unguided_steps_use_zero_delta(rng):
+    """With guidance only at the END (interval (0.0, 0.5)), the cache starts
+    empty: the leading cond-only steps must equal the plain-interval run
+    (zero correction is the only defensible choice before any guided eval)."""
+    ns = _ns()
+    k1, k2 = jax.random.split(rng)
+    x_T = jax.random.normal(k1, (1, 4, 4, 4))
+    m_T = jax.random.normal(k2, (1, 8, 8, 8))
+    model = _held_delta_model(0.2, ns, 0.25)
+    # interval (0, 0.35) on a 6-step time_uniform grid: every step starts
+    # ABOVE 0.35 except the last — so all but the final step are unguided.
+    hold = DPMSolver(model, ns, predict_x0=True, cfg_interval=(0.0, 0.35),
+                     mask_guidance_hold=True)
+    plain = DPMSolver(model, ns, predict_x0=True, cfg_interval=(0.0, 0.35))
+    x_h, pm_h = hold.sample(x_T, steps=6, eps=1e-3, order=2, method="fast",
+                            mask_token=m_T)
+    x_p, pm_p = plain.sample(x_T, steps=6, eps=1e-3, order=2, method="fast",
+                             mask_token=m_T)
+    # final step IS guided in both -> identical outputs (hold never engaged
+    # a nonzero correction on the unguided prefix, and the guided step's
+    # output is the guided prediction in both runs)
+    np.testing.assert_array_equal(np.asarray(x_h), np.asarray(x_p))
+    np.testing.assert_allclose(np.asarray(pm_h), np.asarray(pm_p), atol=1e-6)
+
+
+def test_mask_hold_composes_with_accel(rng):
+    """hold + forecast-skip: the forecast caches the held-corrected mask
+    outputs, so a constant true delta still reproduces the always-guided
+    trajectory exactly even when most evals are skipped."""
+    ns = _ns()
+    delta = 0.25
+    k1, k2 = jax.random.split(rng)
+    x_T = jax.random.normal(k1, (2, 4, 4, 4))
+    m_T = jax.random.normal(k2, (2, 8, 8, 8))
+    hold = DPMSolver(_held_delta_model(0.2, ns, delta), ns, predict_x0=True,
+                     accel_tau=0.2, cfg_interval=(0.5, 1.0),
+                     mask_guidance_hold=True)
+    x_h, pm_h = jax.jit(lambda x, m: hold.sample(
+        x, steps=20, eps=1e-3, order=3, method="fast", mask_token=m))(x_T, m_T)
+    assert np.isfinite(np.asarray(x_h)).all()
+    # constant-mask oracle: trajectory converges to M + delta = 0.75
+    np.testing.assert_allclose(np.asarray(pm_h), 0.75, atol=2e-2)
+
+
+def test_cfg_t2i_want_mask_delta_contract(rng):
+    """make_cfg_t2i(want_mask_delta=True) returns (noise, guided_mask, delta)
+    with guided_mask == cond_mask + delta and delta == scale*(m_c - m_u)."""
+    from panopticdiffusionmodels_tpu.diffusion.cfg import make_cfg_t2i
+
+    def apply_fn(x, t, ctx, mask_token=None):
+        # uncond rows (zero context) predict mask 0; cond rows predict 1
+        c = jnp.mean(jnp.abs(ctx), axis=(1, 2), keepdims=False)
+        pm = jnp.broadcast_to((c > 0).astype(x.dtype)[:, None, None, None],
+                              mask_token.shape)
+        return jnp.zeros_like(x), pm
+
+    empty = np.zeros((4, 8), np.float32)
+    cfg_fn = make_cfg_t2i(apply_fn, empty, scale=2.0, enabled=True)
+    x = jax.random.normal(rng, (3, 2, 2, 4))
+    t = jnp.zeros((3,))
+    ctx = jnp.ones((3, 4, 8))
+    m = jnp.zeros((3, 4, 4, 8))
+    n2, pm2, d = cfg_fn(x, t, ctx, mask_token=m, want_mask_delta=True)
+    n1, pm1 = cfg_fn(x, t, ctx, mask_token=m)
+    np.testing.assert_array_equal(np.asarray(n1), np.asarray(n2))
+    np.testing.assert_array_equal(np.asarray(pm1), np.asarray(pm2))
+    # delta = scale * (m_c - m_u) = 2 * (1 - 0) = 2; guided = 1 + 2 = 3
+    np.testing.assert_allclose(np.asarray(d), 2.0)
+    np.testing.assert_allclose(np.asarray(pm2), 3.0)
