@@ -53,6 +53,15 @@ class Loader:
         assert batch_size % process_count == 0, (
             f"global batch {batch_size} not divisible by {process_count} processes"
         )
+        if process_count > 1 and not drop_last:
+            # A partial final batch would slice UNEQUAL (possibly empty) row
+            # counts per process with the fixed local_slice, and the processes
+            # would then disagree on the global shape inside
+            # jax.make_array_from_process_local_data — refuse up front.
+            raise ValueError(
+                "drop_last=False is not supported with process_count>1: the "
+                "final partial batch cannot be split evenly across processes"
+            )
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle

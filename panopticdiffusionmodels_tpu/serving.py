@@ -20,6 +20,7 @@ from typing import Optional, Sequence
 import jax
 import jax.numpy as jnp
 import numpy as np
+from absl import logging
 
 from .configs import CONFIG_NAMES, get_config
 from .diffusion import Schedule, stable_diffusion_beta_schedule
@@ -58,8 +59,6 @@ class GenerationPipeline:
         self.panoptic = self.is_t2i and config.nnet.enable_panoptic
         if empty_context is None and self.is_t2i:
             if bool(config.sample.get("cfg", False)):
-                from absl import logging
-
                 logging.warning(
                     "serving: CFG is enabled but no empty_context was given — "
                     "guidance will extrapolate against a ZEROS context the "
@@ -186,9 +185,6 @@ class GenerationPipeline:
         cfg_enabled = bool(config.sample.get("cfg", False))
         accel_tau = float(config.sample.get("accel", 0.0))
         cfg_interval = tuple(config.sample.get("cfg_interval", ())) or None
-        from .samplers.speed_budget import check_speed_modes
-
-        check_speed_modes(config)
         # The speed-mode knobs are baked into the compiled program, so they
         # are part of the cache key — mutating config.sample after a generate
         # call correctly triggers a recompile instead of silently reusing the
@@ -200,6 +196,11 @@ class GenerationPipeline:
                      algorithm, task)
         if key_shape in self._jitted:
             return self._jitted[key_shape]
+        # Guardrail check on the build-miss path only: one warning per
+        # compiled program, not per generate() call.
+        from .samplers.speed_budget import check_speed_modes
+
+        check_speed_modes(config)
         hw = config.nnet.get("img_size", None) or config.nnet.get("sample_size")
         z_shape = tuple(config.get("z_shape", (hw, hw, config.nnet.get("in_chans", 4))))
 

@@ -9,6 +9,9 @@ Protocols (BENCH_TASK env):
   latentL — class-conditional ImageNet-256 U-ViT-L/2 latent training
       (reference `train_ldm_discrete.py` + `configs/imagenet256_uvit_large.py`),
       the model the sampling headline (bench.py) serves.
+  panoptic512 — dual-stream S/2 at 512 res (64x64x4 latents, 128x128 map,
+      L~2126 tokens: `configs/mscoco_uvit_small_512.py`) — the long-sequence
+      training geometry where attention cost dominates.  Default batch 16.
 
 A/B over training-side levers (remat policy, attention impl):
 
@@ -62,9 +65,12 @@ def build_config(policy: str, batch: int):
                                      cfg=True, scale=0.4)
         return config
 
+    res512 = os.environ.get("BENCH_TASK", "panoptic") == "panoptic512"
+    img = 64 if res512 else 32
+    mask = 128 if res512 else 64
     config = base_config()
     config.task = "t2i_discrete"
-    config.z_shape = (32, 32, 4)
+    config.z_shape = (img, img, 4)
     config.compute_dtype = "bfloat16"
     config.autoencoder = autoencoder_block(scale_factor=0.23010)
     config.train = train_block(10, batch, log_interval=100, eval_interval=10**9,
@@ -72,12 +78,12 @@ def build_config(policy: str, batch: int):
     config.optimizer = adamw(2e-4, 0.03, (0.9, 0.9))
     config.lr_scheduler = warmup(10)
     config.nnet = uvit_t2i(
-        img_size=32, patch_size=2, embed_dim=512, depth=12, num_heads=8,
+        img_size=img, patch_size=2, embed_dim=512, depth=12, num_heads=8,
         clip_dim=768, num_clip_token=77, enable_panoptic=True, separate=True,
-        mask_size=64, use_checkpoint=True, scan_blocks=True, remat_policy=policy,
+        mask_size=mask, use_checkpoint=True, scan_blocks=True, remat_policy=policy,
     )
-    config.dataset = d(name="synthetic", n=4 * batch, z_shape=(32, 32, 8),
-                       clip_shape=(77, 768), mask_size=64)
+    config.dataset = d(name="synthetic", n=4 * batch, z_shape=(img, img, 8),
+                       clip_shape=(77, 768), mask_size=mask)
     config.sample = sample_block(50, 16, 16, algorithm="dpm_solver", cfg=True, scale=1.0)
     return config
 
@@ -92,6 +98,11 @@ def apply_env_overrides(config):
     # for from-scratch training; erf remains the reference-parity default).
     if os.environ.get("BENCH_GELU", "") == "tanh":
         config.nnet.gelu_approx = True
+    # BENCH_ATTN=xla|auto -> nnet.attn_impl: A/B the training attention path
+    # (auto = Pallas fwd + XLA-recompute VJP on TPU; xla = pure XLA).
+    ai = os.environ.get("BENCH_ATTN", "")
+    if ai:
+        config.nnet.attn_impl = ai
     return config
 
 
@@ -137,7 +148,8 @@ def run(policy: str, batch: int, steps: int = 8):
 
 
 def main():
-    batch = int(os.environ.get("BENCH_BATCH", "64"))
+    default_b = "16" if os.environ.get("BENCH_TASK", "") == "panoptic512" else "64"
+    batch = int(os.environ.get("BENCH_BATCH", default_b))
     policies = sys.argv[1:] or ["", "dots_no_batch"]
     for p in policies:
         run(p, batch)

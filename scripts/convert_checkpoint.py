@@ -37,7 +37,8 @@ def main():
     config = load_config(args.config)
     pipe = GenerationPipeline.from_config(config, nnet_path=args.nnet)
     # The optimizer must be constructed EXACTLY like the Trainer's: a
-    # schedule callable adds a ScaleByScheduleState leaf to opt_state, and a
+    # schedule callable adds a ScaleByScheduleState leaf to opt_state, a
+    # config.pretrained freeze adds a multi_transform partition, and a
     # structurally different tree makes orbax refuse the resume
     # (tests/test_weights_runbook.py drills this path).
     lr_sched = make_lr_schedule(
@@ -46,10 +47,22 @@ def main():
         warmup_steps=config.lr_scheduler.get("warmup_steps", -1),
         total_steps=config.train.n_steps,
     )
+    frozen_mask = None
+    if config.get("pretrained", ""):
+        # Mirror Trainer._init_state: pretrained panoptic configs freeze the
+        # image stream, which partitions opt_state via optax.multi_transform.
+        from panopticdiffusionmodels_tpu.train.state import (
+            panoptic_image_stream_mask,
+        )
+
+        frozen_mask = {
+            "params": panoptic_image_stream_mask(pipe.params["params"])
+        }
     tx = make_optimizer(config.optimizer.name,
                         lr_schedule=lr_sched,
                         weight_decay=config.optimizer.get("weight_decay", 0.0),
-                        betas=tuple(config.optimizer.betas))
+                        betas=tuple(config.optimizer.betas),
+                        frozen_mask=frozen_mask)
     state = create_train_state(pipe.params, tx)
     save_checkpoint(args.out, state)
     n = sum(a.size for a in jax.tree.leaves(pipe.params))

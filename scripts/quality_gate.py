@@ -128,6 +128,23 @@ _TRAINED_PARAMS = os.path.join(
     os.environ.get("QG_DIR", "/root/repo/quality_gate"), "trained_params.msgpack")
 
 
+def _class_patterns(num_classes=10):
+    """Deterministic per-class smooth 2-D sinusoid latents (C, 32, 32, 4) —
+    shared by the 'trained' and 'trained_panoptic' geometries so both gates
+    draw the SAME class modes (the panoptic masks quantize channel 0)."""
+    h = np.linspace(0, 2 * np.pi, 32, endpoint=False)
+    pats = []
+    for c in range(num_classes):
+        pr = np.random.RandomState(1234 + c)
+        chans = []
+        for _ in range(4):
+            fx, fy = pr.randint(1, 5, 2)
+            px, py = pr.uniform(0, 2 * np.pi, 2)
+            chans.append(np.outer(np.sin(fx * h + px), np.sin(fy * h + py)))
+        pats.append(np.stack(chans, axis=-1))
+    return np.stack(pats)
+
+
 def _structured_batch(rs: np.random.RandomState, batch: int, num_classes=10):
     """Class-conditional structured latents: each class is a smooth 2-D
     sinusoid pattern (per-channel frequencies/phases drawn once per class),
@@ -136,17 +153,7 @@ def _structured_batch(rs: np.random.RandomState, batch: int, num_classes=10):
     FD gate detection power (random weights leave the solver output dominated
     by the initial noise, and the gate measurably CANNOT distinguish even
     25-NFE from 50-NFE there; see BENCH.md round 3)."""
-    h = np.linspace(0, 2 * np.pi, 32, endpoint=False)
-    pats = []
-    for c in range(num_classes):
-        pr = np.random.RandomState(1234 + c)
-        chans = []
-        for k in range(4):
-            fx, fy = pr.randint(1, 5, 2)
-            px, py = pr.uniform(0, 2 * np.pi, 2)
-            chans.append(np.outer(np.sin(fx * h + px), np.sin(fy * h + py)))
-        pats.append(np.stack(chans, axis=-1))
-    pats = np.stack(pats)  # (C, 32, 32, 4)
+    pats = _class_patterns(num_classes)  # (C, 32, 32, 4)
     y = rs.randint(0, num_classes, batch)
     amp = rs.uniform(0.7, 1.3, (batch, 1, 1, 1))
     x0 = amp * pats[y] + 0.25 * rs.normal(size=(batch, 32, 32, 4))
@@ -295,26 +302,18 @@ def _panoptic_class_assets(num_classes=10, mask=64):
     ids), so image and mask are structurally COUPLED — the property the
     panoptic speed modes must preserve.  The per-class context vector is the
     'caption embedding' the model learns to condition on."""
-    h = np.linspace(0, 2 * np.pi, 32, endpoint=False)
-    pats, masks, ctxs = [], [], []
+    pats = _class_patterns(num_classes)  # (C, 32, 32, 4)
+    masks, ctxs = [], []
     for c in range(num_classes):
-        pr = np.random.RandomState(1234 + c)
-        chans = []
-        for _ in range(4):
-            fx, fy = pr.randint(1, 5, 2)
-            px, py = pr.uniform(0, 2 * np.pi, 2)
-            chans.append(np.outer(np.sin(fx * h + px), np.sin(fy * h + py)))
-        pat = np.stack(chans, axis=-1)  # (32, 32, 4)
-        pats.append(pat)
         r = mask // 32
-        up = np.repeat(np.repeat(pat[..., 0], r, axis=0), r, axis=1)
+        up = np.repeat(np.repeat(pats[c, ..., 0], r, axis=0), r, axis=1)
         ids = np.zeros((mask, mask), np.int32)
         ids[up >= 0.3] = 1 + 2 * c
         ids[up <= -0.3] = 2 + 2 * c
         masks.append(ids)
         ctxs.append(np.random.RandomState(5000 + c)
                     .normal(size=(77, 768)).astype(np.float32))
-    return np.stack(pats), np.stack(masks), np.stack(ctxs)
+    return pats, np.stack(masks), np.stack(ctxs)
 
 
 def _trained_panoptic_model(gelu, attn_impl="infer", use_checkpoint=False):
@@ -528,6 +527,10 @@ def run_spec(geo, spec, out_dir, n, batch):
 
     seed = SEEDS.get(spec, MODE_SEED)
     base_key = jax.random.PRNGKey(seed)
+    if n % batch:
+        print(f"QG_N={n} is not a multiple of QG_BATCH={batch}: "
+              f"running {n - n % batch} samples (the recorded n matches)")
+        n -= n % batch
     feats, mask_hist = [], np.zeros(256, np.int64)
     t0 = time.perf_counter()
     debug = os.environ.get("QG_DEBUG", "")
@@ -621,7 +624,10 @@ def report(geo, out_dir):
     tvs = [tv(exact[a], exact[b]) for a, b in floor_pairs]
     tv_floor = float(np.mean([t for t in tvs if t is not None])) if tvs[0] is not None else None
 
-    ref = exact["exactA"]
+    # mode runs reuse MODE_SEED == exactA's seed, so exactA is the paired
+    # reference when present; otherwise fall back to the first exact run
+    # (unpaired — noisier, but no KeyError on a re-measured subset)
+    ref = exact.get("exactA", exact[keys[0]])
     n = ref["n"]
     print(f"\n=== quality gate: {geo} (N={n}/run, Inception proxy at fixed "
           f"random weights) ===")

@@ -23,13 +23,17 @@ def qg():
 
 
 def test_parse_spec(qg):
-    assert qg.parse_spec("exactA") == (0.0, None, False, 50)
-    assert qg.parse_spec("gelu") == (0.0, None, True, 50)
-    assert qg.parse_spec("accel=0.2") == (0.2, None, False, 50)
-    assert qg.parse_spec("interval=0.0,0.5") == (0.0, (0.0, 0.5), False, 50)
-    assert qg.parse_spec("combo=0.2:0.0,0.5") == (0.2, (0.0, 0.5), False, 50)
-    assert qg.parse_spec("full=0.3:0.1,0.6") == (0.3, (0.1, 0.6), True, 50)
-    assert qg.parse_spec("steps=25") == (0.0, None, False, 25)
+    # (accel, interval, gelu, steps, mask_guidance_hold)
+    assert qg.parse_spec("exactA") == (0.0, None, False, 50, False)
+    assert qg.parse_spec("gelu") == (0.0, None, True, 50, False)
+    assert qg.parse_spec("accel=0.2") == (0.2, None, False, 50, False)
+    assert qg.parse_spec("gelu_accel=0.2") == (0.2, None, True, 50, False)
+    assert qg.parse_spec("interval=0.0,0.5") == (0.0, (0.0, 0.5), False, 50, False)
+    assert qg.parse_spec("ihold=0.5,1.0") == (0.0, (0.5, 1.0), False, 50, True)
+    assert qg.parse_spec("combo=0.2:0.0,0.5") == (0.2, (0.0, 0.5), False, 50, False)
+    assert qg.parse_spec("full=0.3:0.1,0.6") == (0.3, (0.1, 0.6), True, 50, False)
+    assert qg.parse_spec("full_hold=0.2:0.5,1.0") == (0.2, (0.5, 1.0), True, 50, True)
+    assert qg.parse_spec("steps=25") == (0.0, None, False, 25, False)
     with pytest.raises(SystemExit):
         qg.parse_spec("bogus=1")
 
