@@ -61,25 +61,37 @@ def _xla_attention_qkv(qkv, heads: int, scale: float):
     return out.transpose(0, 2, 1, 3).reshape(b, l, c)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
-def _qkv_attn_trainable(qkv, heads: int, scale: float, interpret: bool = False):
-    """Pallas forward + XLA-recompute backward.  pallas_call has no reverse
-    rule; recomputing the softmax in XLA for the VJP measured +3.7% on the
-    panoptic train step vs the pure-XLA path (same-process A/B, v5e) — the
-    packed-qkv boundary is what makes this a win (the round-1 (B,H,L,D)
-    kernel LOST the same comparison)."""
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4))
+def _qkv_attn_trainable(qkv, heads: int, scale: float, interpret: bool,
+                        bwd: str):
+    """Pallas forward + a selectable backward (pallas_call has no reverse
+    rule of its own):
+
+      bwd='pallas'        — the flash-style Pallas backward kernel
+                            (`fused_attention_qkv_vjp`): scores recomputed in
+                            VMEM, no (L, L) tensor in HBM.
+      bwd='xla_recompute' — re-differentiate the XLA attention for the VJP
+                            (the round-2 shipped path: +3.7% over pure XLA on
+                            the panoptic train step; the packed-qkv boundary
+                            is what makes even this a win — the round-1
+                            (B,H,L,D) kernel LOST the same comparison)."""
     from .pallas.fused_qkv_attention import fused_attention_qkv
 
     return fused_attention_qkv(qkv, heads, scale, interpret=interpret)
 
 
-def _qkv_attn_fwd(qkv, heads, scale, interpret):
+def _qkv_attn_fwd(qkv, heads, scale, interpret, bwd):
     from .pallas.fused_qkv_attention import fused_attention_qkv
 
     return fused_attention_qkv(qkv, heads, scale, interpret=interpret), qkv
 
 
-def _qkv_attn_bwd(heads, scale, interpret, qkv, g):
+def _qkv_attn_bwd(heads, scale, interpret, bwd, qkv, g):
+    if bwd == "pallas":
+        from .pallas.fused_qkv_attention import fused_attention_qkv_vjp
+
+        return (fused_attention_qkv_vjp(qkv, g, heads, scale,
+                                        interpret=interpret),)
     _, vjp = jax.vjp(lambda q: _xla_attention_qkv(q, heads, scale), qkv)
     return (vjp(g)[0],)
 
@@ -93,9 +105,12 @@ def attention_qkv(qkv, heads: int, *, scale: Optional[float] = None,
     (B, L, C) with heads concatenated (the output projection's input layout).
 
     impl:
-      'auto'   — on TPU: Pallas forward + XLA-recompute VJP (differentiable,
-                 the training default); elsewhere: XLA.
+      'auto'   — on TPU: Pallas forward + the best supported backward
+                 (the flash-style Pallas VJP kernel when its working set
+                 fits VMEM, else XLA-recompute); elsewhere: XLA.
       'infer'  — on TPU: the Pallas kernel, forward only; elsewhere: XLA.
+      'pallas_vjp' / 'pallas_recompute' — force the Pallas-forward backward
+                 flavor (A/B handles; 'auto' picks between these).
       'xla'    — force the XLA path.
       'pallas' — force the kernel (TPU only).
     """
@@ -109,13 +124,24 @@ def attention_qkv(qkv, heads: int, *, scale: Optional[float] = None,
     # chunked working set exceeds VMEM, 'auto'/'infer' fall back to XLA
     # instead of raising.  Explicit impl='pallas' still raises — the caller
     # asked for the kernel specifically.
-    from .pallas.fused_qkv_attention import kernel_supported
+    from .pallas.fused_qkv_attention import bwd_kernel_supported, kernel_supported
 
     fits = kernel_supported(qkv.shape[1], qkv.shape[2], qkv.dtype.itemsize,
                             heads)
-    if impl == "auto" and on_tpu and fits:
-        return _qkv_attn_trainable(qkv, heads, scale, False)
-    if impl == "auto":
+    bwd_fits = bwd_kernel_supported(qkv.shape[1], qkv.shape[2],
+                                    qkv.dtype.itemsize, heads)
+    if impl in ("auto", "pallas_vjp", "pallas_recompute") and on_tpu and fits:
+        if impl == "pallas_vjp" and not bwd_fits:
+            raise ValueError(
+                "attention_qkv: impl='pallas_vjp' but the backward working "
+                "set exceeds VMEM for this shape"
+            )
+        use_pallas_bwd = (impl == "pallas_vjp"
+                          or (impl == "auto" and bwd_fits))
+        return _qkv_attn_trainable(
+            qkv, heads, scale, False,
+            "pallas" if use_pallas_bwd else "xla_recompute")
+    if impl in ("auto", "pallas_vjp", "pallas_recompute"):
         impl = "xla"
     if impl == "infer":
         impl = "pallas" if (on_tpu and fits) else "xla"

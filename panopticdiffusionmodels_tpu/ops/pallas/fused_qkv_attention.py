@@ -37,6 +37,10 @@ MAX_FULL_SEQ = 1024
 # lane-aligned head group) plus a (Q_CHUNK, L) f32 score block, so the
 # working set stays bounded for long sequences.
 Q_CHUNK = 256
+# The backward kernel carries two f32 score blocks (probabilities + dp) plus
+# two (L, d) f32 accumulators per head, so its q chunk is half the forward's
+# to keep the long-sequence working set inside the same VMEM budget.
+BWD_Q_CHUNK = 128
 # Conservative per-grid-step working-set budget (v5e VMEM is 128 MiB/core but
 # shared with XLA's own buffers; double buffering doubles block bytes).  The
 # estimate in kernel_supported() may be pessimistic for some backend — raise
@@ -74,6 +78,29 @@ def kernel_supported(l: int, c3: int, itemsize: int = 2, heads: int = 8) -> bool
     return 2 * per_step + scores <= VMEM_BUDGET_BYTES
 
 
+def bwd_kernel_supported(l: int, c3: int, itemsize: int = 2,
+                         heads: int = 8) -> bool:
+    """Can the BACKWARD kernel hold one grid step's working set in VMEM?
+    The backward carries the incoming cotangent as an extra input, writes a
+    packed dqkv block, and keeps two f32 score-sized temporaries live
+    (probabilities + dp; ds overwrites one of them)."""
+    c = c3 // 3
+    if l <= MAX_FULL_SEQ:
+        # qkv in + cotangent in + packed dqkv out, double-buffered
+        in_out = (2 * c3 + c) * l * itemsize
+        scores = l * l * 4 * 2
+        return 2 * in_out + scores <= VMEM_BUDGET_BYTES
+    d = c // heads
+    g = _head_group(heads, d)
+    if g is None:
+        return False
+    # q/k/v/do views + dq/dk/dv output blocks (one head group each)
+    per_step = 7 * l * g * d * itemsize
+    scores = BWD_Q_CHUNK * l * 4 * 2
+    acc = 2 * l * d * 4  # f32 dk/dv accumulators across q chunks
+    return 2 * per_step + scores + acc <= VMEM_BUDGET_BYTES
+
+
 def _attend(q, k, v, scale: float, out_dtype):
     """softmax(q k^T * scale) v for one head's (rows, d) blocks — shared by
     both kernels.  Feed the MXU native bf16 inputs with f32 ACCUMULATION —
@@ -91,6 +118,43 @@ def _attend(q, k, v, scale: float, out_dtype):
         preferred_element_type=jnp.float32,
     )
     return o.astype(out_dtype)
+
+
+def _attend_bwd(q, k, v, do, scale: float):
+    """Gradients of o = softmax(q k^T * scale) v for one head's blocks.
+
+    q/do are (rows, d) row blocks; k/v are the full (L, d).  Returns
+    (dq (rows, d), dk_contrib (L, d), dv_contrib (L, d)) in f32 — the k/v
+    contributions are partial sums the caller accumulates across row blocks.
+    Scores/probabilities are recomputed here (flash-style: the forward saves
+    nothing), softmax math in f32, MXU inputs in the network dtype with f32
+    accumulation."""
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    p = p / jnp.sum(p, axis=-1, keepdims=True)
+    pd = p.astype(v.dtype)
+    # dv += p^T do
+    dv = jax.lax.dot_general(
+        pd, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    # dp = do v^T; ds = p * (dp - rowsum(dp * p)) * scale
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    ds = (p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True)) * scale).astype(
+        v.dtype
+    )
+    dq = jax.lax.dot_general(
+        ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    # dk += ds^T q
+    dk = jax.lax.dot_general(
+        ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    return dq, dk, dv
 
 
 def _kernel(qkv_ref, o_ref, *, heads: int, c: int, scale: float):
@@ -120,12 +184,128 @@ def _kernel_long(q_ref, k_ref, v_ref, o_ref, *, scale: float, l: int,
             )
 
 
+def _kernel_bwd(qkv_ref, g_ref, dqkv_ref, *, heads: int, c: int, scale: float):
+    """Whole-sequence backward: one batch element per grid step, all heads,
+    packed (1, L, 3C) dqkv written in the qkv GEMM's own layout so the
+    projection's VJP consumes it without any relayout."""
+    d = c // heads
+    for h in range(heads):
+        q = qkv_ref[0, :, h * d:(h + 1) * d]
+        k = qkv_ref[0, :, c + h * d:c + (h + 1) * d]
+        v = qkv_ref[0, :, 2 * c + h * d:2 * c + (h + 1) * d]
+        do = g_ref[0, :, h * d:(h + 1) * d]
+        dq, dk, dv = _attend_bwd(q, k, v, do, scale)
+        dt = dqkv_ref.dtype
+        dqkv_ref[0, :, h * d:(h + 1) * d] = dq.astype(dt)
+        dqkv_ref[0, :, c + h * d:c + (h + 1) * d] = dk.astype(dt)
+        dqkv_ref[0, :, 2 * c + h * d:2 * c + (h + 1) * d] = dv.astype(dt)
+
+
+def _kernel_bwd_long(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, *,
+                     scale: float, l: int, g: int, d: int):
+    """Long-sequence backward, one (batch, head-group) grid step: q processed
+    in BWD_Q_CHUNK rows (f32 score blocks stay (chunk, L)); dk/dv accumulate
+    across chunks in f32 and are written once per head."""
+    for j in range(g):
+        k = k_ref[0, :, j * d:(j + 1) * d]
+        v = v_ref[0, :, j * d:(j + 1) * d]
+        dk_acc = jnp.zeros((l, d), jnp.float32)
+        dv_acc = jnp.zeros((l, d), jnp.float32)
+        for q0 in range(0, l, BWD_Q_CHUNK):
+            q1 = min(q0 + BWD_Q_CHUNK, l)
+            q = q_ref[0, q0:q1, j * d:(j + 1) * d]
+            do = do_ref[0, q0:q1, j * d:(j + 1) * d]
+            dq, dk, dv = _attend_bwd(q, k, v, do, scale)
+            dq_ref[0, q0:q1, j * d:(j + 1) * d] = dq.astype(dq_ref.dtype)
+            dk_acc = dk_acc + dk
+            dv_acc = dv_acc + dv
+        dk_ref[0, :, j * d:(j + 1) * d] = dk_acc.astype(dk_ref.dtype)
+        dv_ref[0, :, j * d:(j + 1) * d] = dv_acc.astype(dv_ref.dtype)
+
+
+def fused_attention_qkv_vjp(qkv, g, heads: int, scale: float, *,
+                            interpret: bool = False):
+    """dL/dqkv of `fused_attention_qkv` from the packed (B, L, 3C) input and
+    the (B, L, C) output cotangent.  Flash-style: scores and probabilities
+    are recomputed inside the kernel (the forward saves no residuals beyond
+    qkv itself), so no (L, L) tensor ever touches HBM — the XLA-recompute
+    alternative materializes f32 (B, H, L, L) logits several times in the
+    backward pass (reference surface: training through
+    `libs/uvit.py:66-92`'s SDPA)."""
+    b, l, c3 = qkv.shape
+    assert c3 % 3 == 0
+    c = c3 // 3
+    assert c % heads == 0 and g.shape == (b, l, c)
+    d = c // heads
+    if not interpret:
+        if l > MAX_FULL_SEQ and _head_group(heads, d) is None:
+            raise ValueError(
+                f"fused_attention_qkv_vjp: head_dim {d} cannot form a "
+                f"lane-aligned head group"
+            )
+        if not bwd_kernel_supported(l, c3, qkv.dtype.itemsize, heads):
+            raise ValueError(
+                f"fused_attention_qkv_vjp: (L={l}, 3C={c3}) working set "
+                f"exceeds VMEM"
+            )
+    cost = pl.CostEstimate(
+        flops=10 * b * l * l * c,  # 5 GEMMs, 2 l*l*d MACs each
+        bytes_accessed=2 * b * (c3 + c) * l * qkv.dtype.itemsize,
+        transcendentals=b * heads * l * l,
+    )
+
+    if l > MAX_FULL_SEQ:
+        grp = _head_group(heads, d) or heads  # None only in interpret mode
+        groups = heads // grp
+        kernel = functools.partial(_kernel_bwd_long, scale=scale, l=l, g=grp,
+                                   d=d)
+        head_spec = lambda off: pl.BlockSpec(
+            (1, l, grp * d), lambda i, j, off=off: (i, 0, off + j),
+            memory_space=pltpu.VMEM,
+        )
+        out_spec = pl.BlockSpec((1, l, grp * d), lambda i, j: (i, 0, j),
+                                memory_space=pltpu.VMEM)
+        shape = jax.ShapeDtypeStruct((b, l, c), qkv.dtype)
+        dq, dk, dv = pl.pallas_call(
+            kernel,
+            out_shape=(shape, shape, shape),
+            grid=(b, groups),
+            in_specs=[head_spec(0), head_spec(groups), head_spec(2 * groups),
+                      pl.BlockSpec((1, l, grp * d), lambda i, j: (i, 0, j),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=(out_spec, out_spec, out_spec),
+            cost_estimate=cost,
+            interpret=interpret,
+        )(qkv, qkv, qkv, g)
+        # The packed cotangent the qkv projection's VJP expects; XLA fuses
+        # the concatenate into that GEMM's operand read.
+        return jnp.concatenate([dq, dk, dv], axis=-1)
+
+    kernel = functools.partial(_kernel_bwd, heads=heads, c=c, scale=scale)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b, l, c3), qkv.dtype),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, l, c3), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, l, c), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, l, c3), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        cost_estimate=cost,
+        interpret=interpret,
+    )(qkv, g)
+
+
 def fused_attention_qkv(qkv, heads: int, scale: float, *, interpret: bool = False):
     """softmax(Q K^T * scale) V from a packed (B, L, 3C) qkv tensor.
 
     Returns (B, L, C) with heads concatenated (the output projection's input
-    layout).  Inference-only: sampling paths never differentiate through
-    attention; training uses the XLA path (ops/attention.py `auto`).
+    layout).  Forward only — training differentiates through this via the
+    custom VJP in ops/attention.py (`fused_attention_qkv_vjp` when its
+    working set fits VMEM, XLA recompute otherwise).
     """
     b, l, c3 = qkv.shape
     assert c3 % 3 == 0

@@ -98,8 +98,10 @@ def apply_env_overrides(config):
     # for from-scratch training; erf remains the reference-parity default).
     if os.environ.get("BENCH_GELU", "") == "tanh":
         config.nnet.gelu_approx = True
-    # BENCH_ATTN=xla|auto -> nnet.attn_impl: A/B the training attention path
-    # (auto = Pallas fwd + XLA-recompute VJP on TPU; xla = pure XLA).
+    # BENCH_ATTN=xla|auto|pallas_vjp|pallas_recompute -> nnet.attn_impl: A/B
+    # the training attention path (auto = Pallas fwd + flash-style Pallas
+    # backward kernel on TPU when it fits VMEM, else XLA-recompute VJP;
+    # pallas_recompute forces the round-2 recompute backward; xla = pure XLA).
     ai = os.environ.get("BENCH_ATTN", "")
     if ai:
         config.nnet.attn_impl = ai

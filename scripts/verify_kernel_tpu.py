@@ -9,8 +9,10 @@ kernel the HEADLINE runs computes the same attention as the XLA reference:
   2. kernel vs XLA outputs across the shipped shapes (258 = ImageNet-256/512
      UViT-L tokens, 590 = panoptic dual-stream, incl. a lane-unaligned L);
   3. full UViT-L forward with attn_impl='infer' vs 'xla' on shared weights;
-  4. the training path ('auto': Pallas fwd + XLA-recompute VJP) — forward
-     parity and gradient parity vs the pure-XLA path.
+  4. the training path — forward parity and gradient parity vs the pure-XLA
+     path for every custom-VJP flavor ('pallas_vjp' = the flash-style Pallas
+     backward kernel, 'pallas_recompute' = XLA-recompute, and 'auto'), at
+     the whole-sequence AND q-chunked long-sequence backward lengths.
 
 Run: python scripts/verify_kernel_tpu.py   (one TPU process at a time)
 """
@@ -82,21 +84,30 @@ def main():
     print(f"UViT-L forward infer vs xla: rel dev {r:.2e}")
     assert r < 2e-2, r  # bf16 noise compounds over 21 blocks
 
-    # 4. training path: forward parity + gradient parity.
-    qkv = (jax.random.normal(jax.random.PRNGKey(9), (8, 258, 3 * 512)) * 0.5
-           ).astype(jnp.bfloat16)
+    # 4. training path: forward parity + gradient parity for BOTH custom-VJP
+    # backends (the flash-style Pallas backward kernel and the XLA-recompute
+    # fallback), plus the q-chunked long-sequence backward at the 512-res
+    # panoptic length.
+    def loss(q, impl, heads):
+        return jnp.sum(
+            attention_qkv(q, heads, impl=impl).astype(jnp.float32) ** 2)
 
-    def loss(q, impl):
-        return jnp.sum(attention_qkv(q, 8, impl=impl).astype(jnp.float32) ** 2)
-
-    f_auto = jax.jit(jax.value_and_grad(lambda q: loss(q, "auto")))
-    f_xla = jax.jit(jax.value_and_grad(lambda q: loss(q, "xla")))
-    la, ga = f_auto(qkv)
-    lx, gx = f_xla(qkv)
-    print(f"train path: fwd rel dev {abs(float(la - lx)) / abs(float(lx)):.2e}, "
-          f"grad rel dev {rel(ga, gx):.2e}")
-    assert abs(float(la - lx)) / abs(float(lx)) < 5e-3
-    assert rel(ga, gx) < 5e-3
+    for (b, l, heads, d) in [(8, 258, 8, 64),     # whole-seq bwd
+                             (2, 2126, 8, 64)]:   # q-chunked long bwd
+        c = heads * d
+        qkv = (jax.random.normal(jax.random.PRNGKey(9), (b, l, 3 * c)) * 0.5
+               ).astype(jnp.bfloat16)
+        lx, gx = jax.jit(
+            jax.value_and_grad(lambda q: loss(q, "xla", heads)))(qkv)
+        for impl in ("pallas_vjp", "pallas_recompute", "auto"):
+            lp, gp = jax.jit(
+                jax.value_and_grad(lambda q, i=impl: loss(q, i, heads)))(qkv)
+            fdev = abs(float(lp - lx)) / abs(float(lx))
+            gdev = rel(gp, gx)
+            print(f"train path L{l} {impl}: fwd rel dev {fdev:.2e}, "
+                  f"grad rel dev {gdev:.2e}")
+            assert fdev < 5e-3, (l, impl, fdev)
+            assert gdev < 5e-3, (l, impl, gdev)
     print("kernel verification OK")
 
 

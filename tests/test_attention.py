@@ -114,8 +114,9 @@ def test_oversized_sequence_falls_back_to_xla_on_tpu(rng, monkeypatch):
 
 
 def test_trainable_qkv_kernel_grad_matches_xla(rng):
-    """The Pallas-forward/XLA-recompute custom VJP must produce the same
-    gradient as differentiating the XLA path (interpret mode on CPU)."""
+    """Both custom-VJP backends (the flash-style Pallas backward kernel and
+    the XLA-recompute fallback) must produce the same gradient as
+    differentiating the XLA path (interpret mode on CPU)."""
     from panopticdiffusionmodels_tpu.ops.attention import (
         _qkv_attn_trainable,
         _xla_attention_qkv,
@@ -125,13 +126,91 @@ def test_trainable_qkv_kernel_grad_matches_xla(rng):
     qkv = jax.random.normal(rng, (2, 33, 3 * heads * d), jnp.float32)
     scale = d ** -0.5
 
-    def loss_pallas(q):
-        return jnp.sum(jnp.sin(_qkv_attn_trainable(q, heads, scale, True)))
-
     def loss_xla(q):
         return jnp.sum(jnp.sin(_xla_attention_qkv(q, heads, scale)))
 
-    g_p = jax.grad(loss_pallas)(qkv)
     g_x = jax.grad(loss_xla)(qkv)
-    np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_x),
-                               atol=2e-5, rtol=2e-5)
+    for bwd in ("xla_recompute", "pallas"):
+        def loss_pallas(q, bwd=bwd):
+            return jnp.sum(jnp.sin(_qkv_attn_trainable(q, heads, scale, True,
+                                                       bwd)))
+
+        g_p = jax.grad(loss_pallas)(qkv)
+        np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_x),
+                                   atol=2e-5, rtol=2e-5, err_msg=bwd)
+
+
+def test_bwd_kernel_interpret_parity_shapes(rng):
+    """The Pallas backward kernel (interpret mode) == the XLA VJP at the
+    flagship (L=258), panoptic (L=590), and a beyond-MAX_FULL_SEQ length
+    exercising the q-chunked long path (ragged final chunk + head groups)."""
+    from panopticdiffusionmodels_tpu.ops.attention import _xla_attention_qkv
+    from panopticdiffusionmodels_tpu.ops.pallas.fused_qkv_attention import (
+        MAX_FULL_SEQ,
+        fused_attention_qkv_vjp,
+    )
+
+    for l, heads, d in [(258, 4, 32), (590, 2, 64),
+                        (MAX_FULL_SEQ + 70, 4, 64)]:
+        c = heads * d
+        k1, k2 = jax.random.split(jax.random.fold_in(rng, l))
+        qkv = jax.random.normal(k1, (2, l, 3 * c), jnp.float32)
+        g = jax.random.normal(k2, (2, l, c), jnp.float32)
+        scale = d ** -0.5
+        _, vjp = jax.vjp(lambda q: _xla_attention_qkv(q, heads, scale), qkv)
+        ref = vjp(g)[0]
+        out = fused_attention_qkv_vjp(qkv, g, heads, scale, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=3e-5, rtol=3e-5, err_msg=str(l))
+
+
+def test_bwd_kernel_supported_budget():
+    """Shipped training geometries fit the backward kernel's VMEM budget;
+    clearly-oversized ones do not."""
+    from panopticdiffusionmodels_tpu.ops.pallas.fused_qkv_attention import (
+        bwd_kernel_supported,
+    )
+
+    # flagship UViT-L (L=258, C=1024, bf16) and panoptic S/2 dual stream
+    # (L=590, C=512) on the whole-sequence path
+    assert bwd_kernel_supported(258, 3 * 1024, 2, heads=16)
+    assert bwd_kernel_supported(590, 3 * 512, 2, heads=8)
+    # 512-res panoptic dual stream on the q-chunked long path
+    assert bwd_kernel_supported(2126, 3 * 512, 2, heads=8)
+    # 4k-token full-width model: over budget
+    assert not bwd_kernel_supported(4096, 3 * 1024, 4, heads=16)
+    # unalignable head_dim on the long path
+    assert not bwd_kernel_supported(2048, 3 * 320, 2, heads=8)
+
+
+def test_auto_impl_uses_pallas_bwd_when_supported(rng, monkeypatch):
+    """On a (simulated) TPU backend, 'auto' must route the backward to the
+    Pallas kernel when its working set fits and fall back to XLA-recompute
+    when only the forward fits."""
+    from panopticdiffusionmodels_tpu.ops import attention as att
+
+    calls = []
+
+    def fake_trainable(qkv, heads, scale, interpret, bwd):
+        calls.append(bwd)
+        return qkv[..., : qkv.shape[-1] // 3]
+
+    monkeypatch.setattr(att.jax, "default_backend", lambda: "tpu")
+    monkeypatch.setattr(att, "_qkv_attn_trainable", fake_trainable)
+    qkv = jax.random.normal(rng, (1, 64, 3 * 128), jnp.bfloat16)
+    att.attention_qkv(qkv, 2, impl="auto")
+    assert calls == ["pallas"]
+    # forward fits but backward does not: (L=512, C=1024, bf16) is inside the
+    # fwd budget yet outside the bwd budget -> xla_recompute
+    from panopticdiffusionmodels_tpu.ops.pallas.fused_qkv_attention import (
+        bwd_kernel_supported,
+        kernel_supported,
+    )
+
+    assert kernel_supported(512, 3 * 1024, 2, heads=8)
+    assert not bwd_kernel_supported(512, 3 * 1024, 2, heads=8)
+    qkv = jax.random.normal(rng, (1, 512, 3 * 1024), jnp.bfloat16)
+    att.attention_qkv(qkv, 8, impl="auto")
+    assert calls[-1] == "xla_recompute"
+    with np.testing.assert_raises(ValueError):
+        att.attention_qkv(qkv, 8, impl="pallas_vjp")
