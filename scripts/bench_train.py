@@ -98,6 +98,12 @@ def apply_env_overrides(config):
     # for from-scratch training; erf remains the reference-parity default).
     if os.environ.get("BENCH_GELU", "") == "tanh":
         config.nnet.gelu_approx = True
+    # BENCH_REMAT=off -> disable activation checkpointing entirely (the
+    # Pallas backward removed the HBM-resident (L, L) logits, so the remat
+    # trade is worth re-measuring: no-remat saves the recompute forward if
+    # the saved activations fit HBM).
+    if os.environ.get("BENCH_REMAT", "") == "off":
+        config.nnet.use_checkpoint = False
     # BENCH_ATTN=xla|auto|pallas_vjp|pallas_recompute -> nnet.attn_impl: A/B
     # the training attention path (auto = Pallas fwd + flash-style Pallas
     # backward kernel on TPU when it fits VMEM, else XLA-recompute VJP;
