@@ -100,7 +100,7 @@ class Loader:
 
 
 def prefetch_to_device(iterator, sharding, size: int = 2,
-                       cast_f32=None) -> Iterator[Any]:
+                       cast_f32=None, cast_int=None) -> Iterator[Any]:
     """Move batches onto the mesh `size` steps ahead of consumption.
 
     Uses a background thread so host collation overlaps device compute; each
@@ -111,8 +111,14 @@ def prefetch_to_device(iterator, sharding, size: int = 2,
     Fields the bf16-compute model consumes directly (e.g. CLIP context) are
     bit-identical to casting on device; fields that feed f32 math first
     (e.g. VAE moments before the reparameterized sample) are rounded to bf16
-    precision, comparable to the reference's fp16-autocast feed.  Integer
-    fields (labels, panoptic ids) are never touched.
+    precision, comparable to the reference's fp16-autocast feed.
+
+    `cast_int`: optional narrow integer dtype (e.g. np.uint8) for int32/int64
+    fields.  LOSSLESS by contract: the caller asserts the field's value range
+    fits (the 8-bit analog-bits codec already requires panoptic ids < 256 —
+    `diffusion/analog_bits.py`), and this function verifies each batch and
+    raises on overflow rather than silently wrapping.  Shipping 32-bit ids
+    with 8 bits of entropy wastes 4x the link bytes on any transport.
 
     Multi-process: each process's iterator yields its LOCAL row slice of the
     global batch (see `Loader`); the global sharded array is assembled with
@@ -130,6 +136,18 @@ def prefetch_to_device(iterator, sharding, size: int = 2,
         def one(x):
             if cast_f32 is not None and getattr(x, "dtype", None) == np.float32:
                 x = np.asarray(x).astype(cast_f32)
+            if cast_int is not None and getattr(x, "dtype", None) in (
+                np.dtype(np.int32), np.dtype(np.int64)
+            ):
+                x = np.asarray(x)
+                info = np.iinfo(cast_int)
+                lo, hi = int(x.min()), int(x.max())
+                if lo < info.min or hi > info.max:
+                    raise ValueError(
+                        f"cast_int={np.dtype(cast_int).name}: batch int field "
+                        f"range [{lo}, {hi}] exceeds [{info.min}, {info.max}]"
+                    )
+                x = x.astype(cast_int)
             if n_proc == 1:
                 return jax.device_put(x, sharding)
             x = np.asarray(x)

@@ -578,9 +578,22 @@ class Trainer:
             import ml_dtypes
 
             cast = ml_dtypes.bfloat16
+        # Panoptic id maps are bounded by the analog-bits depth (ids < 2^bits,
+        # diffusion/analog_bits.py), so for the default 8-bit codec they ship
+        # as uint8 — 4x fewer link bytes than int32, bit-exact (the loss casts
+        # to int32 on device).  prefetch_to_device raises on out-of-range ids.
+        cast_int = None
+        if (
+            self.task == "t2i_discrete"
+            and self.config.nnet.get("enable_panoptic", False)
+            and self.config.nnet.get("mask_bits", 8) <= 8
+            and self.config.train.get("transfer_mask_uint8", True)
+        ):
+            cast_int = np.uint8
         native = self._native_stream()
         if native is not None:
-            return prefetch_to_device(native, self.batch_sharding, cast_f32=cast)
+            return prefetch_to_device(native, self.batch_sharding,
+                                      cast_f32=cast, cast_int=cast_int)
         # seed is process-CONSISTENT: all hosts compute the same global
         # shuffle and each loads only its own contiguous row slice
         # (prefetch_to_device assembles the global array from the local rows).
@@ -592,7 +605,8 @@ class Trainer:
             process_index=jax.process_index(),
             process_count=jax.process_count(),
         )
-        return prefetch_to_device(iter(loader), self.batch_sharding, cast_f32=cast)
+        return prefetch_to_device(iter(loader), self.batch_sharding,
+                                  cast_f32=cast, cast_int=cast_int)
 
     def _native_stream(self):
         """C++ fastloader path for MS-COCO feature dirs (native/fastloader.cpp);

@@ -108,6 +108,31 @@ def test_loader_tuple_collate_and_prefetch():
     next(stream)  # pulls again without deadlock
 
 
+def test_prefetch_cast_int_narrows_and_guards():
+    import jax
+    import pytest
+
+    ds = SyntheticDataset([(4,), (3, 3, 1)], n=16, seed=0, int_fields=(1,))
+    loader = Loader(ds, batch_size=4, num_workers=0, shuffle=False)
+    sharding = jax.sharding.SingleDeviceSharding(jax.devices("cpu")[0])
+    stream = prefetch_to_device(iter(loader), sharding, cast_int=np.uint8)
+    batch = next(stream)
+    assert batch[0].dtype == np.float32  # float fields untouched
+    assert batch[1].dtype == np.uint8
+    # bit-exact vs the int32 source rows (ids 0..200 fit uint8)
+    np.testing.assert_array_equal(
+        np.asarray(batch[1]).astype(np.int32), ds.fields[1][:4]
+    )
+
+    # out-of-range ids raise instead of wrapping
+    big = SyntheticDataset([(3, 3, 1)], n=8, seed=0, int_fields=(0,))
+    big.fields[0][0, 0, 0, 0] = 300
+    loader2 = Loader(big, batch_size=8, num_workers=0, shuffle=False)
+    stream2 = prefetch_to_device(iter(loader2), sharding, cast_int=np.uint8)
+    with pytest.raises(ValueError, match="exceeds"):
+        next(stream2)
+
+
 def test_synthetic_factory():
     ds = get_dataset("synthetic", n=16, z_shape=(8, 8, 8), clip_shape=(7, 16), mask_size=16)
     z, ctx, pan = ds.train[0]

@@ -44,9 +44,16 @@ def test_fit_with_bf16_transfer(tmp_path):
 
     assert batch[0].dtype == jnp.bfloat16  # moments
     assert batch[1].dtype == jnp.bfloat16  # context
-    assert jnp.issubdtype(batch[2].dtype, jnp.integer)  # panoptic ids
+    # panoptic ids ship at their natural width (8-bit analog-bits codec)
+    assert batch[2].dtype == jnp.uint8
     metrics = trainer.fit(max_steps=4)
     assert all(np.isfinite(m["loss"]) for m in metrics)
+
+    # opt-out restores the int32 feed
+    config.train.transfer_mask_uint8 = False
+    trainer2 = Trainer(config, str(tmp_path / "wide"))
+    batch2 = next(trainer2.data_stream())
+    assert batch2[2].dtype == jnp.int32
 
 
 def test_loss_decreases_on_tiny_overfit(tmp_path):
