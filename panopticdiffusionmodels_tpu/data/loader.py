@@ -70,6 +70,7 @@ class Loader:
         self.rng = random.Random(seed)
         per = batch_size // process_count
         self.local_slice = slice(process_index * per, (process_index + 1) * per)
+        self._pending: tuple = ()  # (epoch indices, start batch) set by skip()
 
     def _epoch_indices(self):
         idx = list(range(len(self.dataset)))
@@ -77,13 +78,37 @@ class Loader:
             self.rng.shuffle(idx)
         return idx
 
-    def epoch(self) -> Iterator[Any]:
-        """One pass over the data (this process's slice of each global batch)."""
-        idx = self._epoch_indices()
+    def _n_batches(self, idx) -> int:
         nb = len(idx) // self.batch_size
         if not self.drop_last and len(idx) % self.batch_size:
             nb += 1
-        for b in range(nb):
+        return nb
+
+    def skip(self, n_batches: int):
+        """Fast-forward the stream by `n_batches` WITHOUT loading any sample —
+        index-only, O(n/dataset_epoch) shuffles.  After `skip(k)`, iteration
+        yields exactly the batches a fresh loader would have yielded from
+        position k: deterministic data resume (the shuffle seed is the
+        checkpointed quantity; the reference's torch loader replays from
+        scratch after a restart)."""
+        assert not self._pending, "skip() must precede iteration"
+        while n_batches > 0:
+            idx = self._epoch_indices()
+            nb = self._n_batches(idx)
+            if n_batches >= nb:
+                n_batches -= nb
+            else:
+                self._pending = (idx, n_batches)
+                return
+
+    def epoch(self) -> Iterator[Any]:
+        """One pass over the data (this process's slice of each global batch)."""
+        if self._pending:
+            idx, start = self._pending
+            self._pending = ()
+        else:
+            idx, start = self._epoch_indices(), 0
+        for b in range(start, self._n_batches(idx)):
             batch_idx = idx[b * self.batch_size : (b + 1) * self.batch_size]
             batch_idx = batch_idx[self.local_slice]
             if self.pool is not None:

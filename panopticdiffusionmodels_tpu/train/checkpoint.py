@@ -7,36 +7,72 @@ arrays directly onto their mesh shardings (no host round-trip).
 """
 from __future__ import annotations
 
+import atexit
 import os
 import re
+import threading
 from typing import Any, Optional
 
 import jax
 import numpy as np
 import orbax.checkpoint as ocp
 
+_CKPTR: Optional[ocp.StandardCheckpointer] = None
+_CKPTR_LOCK = threading.Lock()
+
 
 def _ckpt_path(root: str, step: int) -> str:
     return os.path.join(os.path.abspath(root), f"{step}.ckpt")
 
 
-def save_checkpoint(root: str, state: Any, step: Optional[int] = None):
+def _checkpointer() -> ocp.StandardCheckpointer:
+    """One process-lifetime StandardCheckpointer (it IS an AsyncCheckpointer:
+    `save` returns once arrays are staged on host; the directory write and
+    atomic commit run on a background thread).  The per-call `with` block the
+    old code used forced a full wait on every save."""
+    global _CKPTR
+    with _CKPTR_LOCK:
+        if _CKPTR is None:
+            _CKPTR = ocp.StandardCheckpointer()
+            atexit.register(_CKPTR.close)  # waits for any in-flight commit
+    return _CKPTR
+
+
+def wait_for_saves():
+    """Block until every async save has committed.  Call before reading a
+    just-written checkpoint, deleting checkpoint dirs (best-FID retention),
+    or letting a benchmark's timing window close."""
+    if _CKPTR is not None:
+        _CKPTR.wait_until_finished()
+
+
+def save_checkpoint(root: str, state: Any, step: Optional[int] = None,
+                    block: bool = True):
     """Write {params, ema_params, opt_state, step} under {root}/{step}.ckpt.
-    The payload step is always the state's own step counter."""
+    The payload step is always the state's own step counter.
+
+    `block=False` returns as soon as the arrays are staged to host — the disk
+    write overlaps subsequent train steps (the reference's torch.save blocks
+    the loop for the full serialization).  A second save while one is in
+    flight waits for the first inside orbax, so at most one write is ever
+    pending and saves can never be reordered."""
     os.makedirs(root, exist_ok=True)
     state_step = int(state.step)
     path = _ckpt_path(root, state_step if step is None else step)
-    with ocp.StandardCheckpointer() as ckptr:
-        payload = {
-            "step": np.asarray(state_step),
-            "params": state.params,
-            "ema_params": state.ema_params,
-            "opt_state": state.opt_state,
-        }
-        ckptr.save(path, payload, force=True)
+    payload = {
+        "step": np.asarray(state_step),
+        "params": state.params,
+        "ema_params": state.ema_params,
+        "opt_state": state.opt_state,
+    }
+    ckptr = _checkpointer()
+    ckptr.save(path, payload, force=True)
+    if block:
+        ckptr.wait_until_finished()
 
 
 def load_checkpoint(path: str, abstract_state: Optional[Any] = None) -> dict:
+    wait_for_saves()  # never read past an uncommitted async write
     with ocp.StandardCheckpointer() as ckptr:
         if abstract_state is None:
             return ckptr.restore(os.path.abspath(path))
@@ -52,6 +88,7 @@ def load_checkpoint(path: str, abstract_state: Optional[Any] = None) -> dict:
 
 def latest_step(root: str) -> Optional[int]:
     """Max-numbered `{step}.ckpt` in root, or None (reference `utils.py:387-405`)."""
+    wait_for_saves()
     if not os.path.exists(root):
         return None
     steps = []

@@ -565,7 +565,7 @@ class Trainer:
 
     # --- main loop ----------------------------------------------------------
 
-    def data_stream(self):
+    def data_stream(self, start_step: int = 0):
         # Opt-in host->device transfer compression (train.transfer_dtype =
         # "bfloat16"): float32 batch fields are cast on host before the copy,
         # halving the bytes when the link to the chip, not the loader, limits
@@ -590,7 +590,7 @@ class Trainer:
             and self.config.train.get("transfer_mask_uint8", True)
         ):
             cast_int = np.uint8
-        native = self._native_stream()
+        native = self._native_stream(start_step=start_step)
         if native is not None:
             return prefetch_to_device(native, self.batch_sharding,
                                       cast_f32=cast, cast_int=cast_int)
@@ -605,10 +605,15 @@ class Trainer:
             process_index=jax.process_index(),
             process_count=jax.process_count(),
         )
+        if start_step:
+            # Deterministic data resume: index-only fast-forward so the
+            # resumed run consumes exactly the batches the uninterrupted run
+            # would have (one batch per optimizer step).
+            loader.skip(start_step)
         return prefetch_to_device(iter(loader), self.batch_sharding,
                                   cast_f32=cast, cast_int=cast_int)
 
-    def _native_stream(self):
+    def _native_stream(self, start_step: int = 0):
         """C++ fastloader path for MS-COCO feature dirs (native/fastloader.cpp);
         falls back to the Python loader when unavailable."""
         if self.task != "t2i_discrete" or not self.config.get("native_loader", True):
@@ -639,15 +644,22 @@ class Trainer:
             seg_in=seg_in,
             mask_size=mask_size,
             # per-process seed is safe HERE: each process shuffles a disjoint
-            # strided subset of the feature files (see NativeFeatureLoader)
-            seed=self.config.seed + jax.process_index(),
+            # strided subset of the feature files (see NativeFeatureLoader).
+            # On resume, fold the step in: the C++ loader has no index-only
+            # fast-forward, so a resumed run gets a FRESH shuffle order
+            # instead of replaying the start of training (the Python Loader
+            # path resumes exactly via skip()).
+            seed=self.config.seed + jax.process_index()
+                 + 1_000_003 * int(start_step),
             num_threads=self.config.get("num_workers", 8),
             process_index=jax.process_index(),
             process_count=jax.process_count(),
         )
         p_uncond = float(self.config.dataset.get("p_uncond", 0.0) or 0.0)
         empty = np.asarray(self.dataset.empty_context, dtype=np.float32)
-        rng = np.random.default_rng(self.config.seed + jax.process_index())
+        rng = np.random.default_rng(
+            self.config.seed + jax.process_index() + int(start_step)
+        )
 
         def stream():
             for batch in loader:
@@ -676,8 +688,11 @@ class Trainer:
         vis_callback(trainer, step) every eval_interval (sample grids) — both
         live in evaluation/, kept out of the hot path."""
         config = self.config
-        stream = self.data_stream()
         self.resume()
+        # Stream starts AT the resumed step: the Python loader fast-forwards
+        # index-only, so the resumed run sees the batches the uninterrupted
+        # run would have (the reference replays its loader from scratch).
+        stream = self.data_stream(start_step=int(self.state.step))
         n_steps = max_steps or config.train.n_steps
         log_interval = config.train.get("log_interval", 10)
         save_interval = config.train.get("save_interval", 50000)
@@ -725,7 +740,12 @@ class Trainer:
                     # gating, reference `train.py:182-196`).
                     eval_callback(self, step)
                 elif jax.process_index() == 0:
-                    ckpt_lib.save_checkpoint(self.ckpt_root, self.state)
+                    # Async: arrays are staged to host here; the directory
+                    # write commits on a background thread while training
+                    # continues (orbax serializes overlapping saves).
+                    ckpt_lib.save_checkpoint(self.ckpt_root, self.state,
+                                             block=False)
+        ckpt_lib.wait_for_saves()
         return metrics_hist
 
 

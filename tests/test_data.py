@@ -133,6 +133,22 @@ def test_prefetch_cast_int_narrows_and_guards():
         next(stream2)
 
 
+def test_loader_skip_matches_uninterrupted_stream():
+    """skip(k) then iterate == batches k.. of a fresh loader: deterministic
+    data resume, crossing an epoch boundary (n=32, bs=8 -> 4 batches/epoch)."""
+    ds = SyntheticDataset([(4,)], n=32, seed=0)
+    full = Loader(ds, batch_size=8, num_workers=0, seed=7)
+    it = iter(full)
+    want = [next(it) for _ in range(9)]
+
+    for k in (1, 3, 4, 6):  # mid-epoch, boundary-1, exact boundary, epoch 2
+        resumed = Loader(ds, batch_size=8, num_workers=0, seed=7)
+        resumed.skip(k)
+        rit = iter(resumed)
+        for j in range(k, 9):
+            np.testing.assert_array_equal(next(rit), want[j])
+
+
 def test_synthetic_factory():
     ds = get_dataset("synthetic", n=16, z_shape=(8, 8, 8), clip_shape=(7, 16), mask_size=16)
     z, ctx, pan = ds.train[0]

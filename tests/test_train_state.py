@@ -99,6 +99,30 @@ def test_checkpoint_roundtrip(rng, tmp_path):
     )
 
 
+def test_async_save_then_immediate_resume(rng, tmp_path):
+    """block=False returns before the directory commit; any subsequent read
+    (latest_step/load) must wait for the in-flight write, so a resume issued
+    right after an async save sees it."""
+    from panopticdiffusionmodels_tpu.train.checkpoint import wait_for_saves
+
+    params = _params(rng)
+    tx = make_optimizer(lr=0.1)
+    state = create_train_state(params, tx)
+    grads = jax.tree.map(jnp.ones_like, params)
+    root = str(tmp_path / "ckpts")
+    for _ in range(3):  # overlapping saves serialize inside orbax
+        state = state.apply_gradients(grads)
+        save_checkpoint(root, state, block=False)
+    restored, ok = resume(root, create_train_state(_params(jax.random.PRNGKey(9)), tx))
+    assert ok and int(restored.step) == 3
+    np.testing.assert_allclose(
+        np.asarray(restored.params["mask_block"]["kernel"]),
+        np.asarray(state.params["mask_block"]["kernel"]),
+        rtol=1e-6,
+    )
+    wait_for_saves()  # idempotent with nothing in flight
+
+
 def test_resume_empty_dir(rng, tmp_path):
     params = _params(rng)
     state = create_train_state(params, make_optimizer())

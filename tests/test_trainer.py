@@ -56,6 +56,20 @@ def test_fit_with_bf16_transfer(tmp_path):
     assert batch2[2].dtype == jnp.int32
 
 
+def test_data_stream_resumes_at_step(tmp_path):
+    """data_stream(start_step=k) yields batch k of the step-0 stream — fit()
+    wires the resumed state.step in, so an interrupted run consumes the same
+    batch sequence the uninterrupted run would have."""
+    config = get_config("synthetic_tiny")
+    trainer = Trainer(config, str(tmp_path))
+    s0 = trainer.data_stream()
+    want = [jax.tree.map(np.asarray, next(s0)) for _ in range(5)]
+    s3 = trainer.data_stream(start_step=3)
+    got = jax.tree.map(np.asarray, next(s3))
+    for a, b in zip(got, want[3]):
+        np.testing.assert_array_equal(a, b)
+
+
 def test_loss_decreases_on_tiny_overfit(tmp_path):
     config = get_config("synthetic_tiny")
     config.dataset.n = 16
