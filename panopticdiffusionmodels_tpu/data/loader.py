@@ -95,6 +95,14 @@ class Loader:
         while n_batches > 0:
             idx = self._epoch_indices()
             nb = self._n_batches(idx)
+            if nb == 0:
+                # drop_last with dataset < batch_size: every epoch is empty, so
+                # any skip target is unreachable — fail loudly, don't spin.
+                raise ValueError(
+                    f"cannot skip {n_batches} batches: an epoch yields 0 "
+                    f"batches (dataset {len(self.dataset)} < global batch "
+                    f"{self.batch_size} with drop_last)"
+                )
             if n_batches >= nb:
                 n_batches -= nb
             else:

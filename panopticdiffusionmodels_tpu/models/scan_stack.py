@@ -21,6 +21,7 @@ from typing import Any, Optional
 import flax.linen as nn
 import jax.numpy as jnp
 
+from ..parallel.mesh import constrain_tokens
 from .layers import Block, ZeroConv
 
 Dtype = Any
@@ -72,6 +73,9 @@ class _BlockBody(nn.Module):
     dtype: Dtype = jnp.float32
     attn_impl: str = "auto"
     gelu_approx: bool = False
+    # Sequence parallelism: NamedSharding for the (B, L, C) carry, or None.
+    # Re-asserted at every layer so the scan carry stays L-sharded on 'sp'.
+    token_sharding: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x, skip):
@@ -86,6 +90,7 @@ class _BlockBody(nn.Module):
             gelu_approx=self.gelu_approx,
             name="block",
         )(x, skip)
+        x = constrain_tokens(x, self.token_sharding)
         return x, (x if self.emit_skip else None)
 
 
@@ -121,6 +126,7 @@ class _DualBody(nn.Module):
     dtype: Dtype = jnp.float32
     attn_impl: str = "auto"
     gelu_approx: bool = False
+    token_sharding: Optional[Any] = None
 
     @nn.compact
     def __call__(self, carry, skips):
@@ -148,6 +154,8 @@ class _DualBody(nn.Module):
         )
         x = x + x_add
         m = mx[:, self.img_len :, :]
+        x = constrain_tokens(x, self.token_sharding)
+        m = constrain_tokens(m, self.token_sharding)
         ys = (x, mx) if self.emit_skip else None
         return (x, m), ys
 

@@ -21,6 +21,7 @@ from typing import Any, Optional
 import flax.linen as nn
 import jax.numpy as jnp
 
+from ..parallel.mesh import constrain_tokens
 from .layers import (
     Block,
     Conv3x3,
@@ -68,6 +69,9 @@ class UViT(nn.Module):
     # Opt-in tanh GELU (reference uses exact erf): ~13% faster forward,
     # different math — see layers.Mlp docstring and BENCH.md op ablation.
     gelu_approx: bool = False
+    # Sequence parallelism: NamedSharding for (B, L, C) token activations,
+    # set by the trainer when the mesh has sp > 1 (parallel/mesh.py).
+    token_sharding: Optional[Any] = None
 
     @property
     def extras(self) -> int:
@@ -111,6 +115,7 @@ class UViT(nn.Module):
             (1, self.extras + num_patches, self.embed_dim),
         )
         x = x + pos_embed.astype(x.dtype)
+        x = constrain_tokens(x, self.token_sharding)
 
         block_cls = Block
         if self.use_checkpoint:
@@ -142,12 +147,13 @@ class UViT(nn.Module):
                 dtype=self.dtype,
                 attn_impl=self.attn_impl,
                 gelu_approx=self.gelu_approx,
+                token_sharding=self.token_sharding,
             )
             x, skips = in_stack(
                 x, length=self.depth // 2, remat=self.use_checkpoint,
                 remat_policy=self.remat_policy, name="in_blocks", **stack_cfg,
             )
-            x = make_block("mid_block")(x)
+            x = constrain_tokens(make_block("mid_block")(x), self.token_sharding)
             x = out_stack(
                 x, skips, length=self.depth // 2, remat=self.use_checkpoint,
                 remat_policy=self.remat_policy, use_skip=self.skip,
@@ -156,13 +162,18 @@ class UViT(nn.Module):
         else:
             skips = []
             for i in range(self.depth // 2):
-                x = make_block(f"in_blocks_{i}")(x)
+                x = constrain_tokens(
+                    make_block(f"in_blocks_{i}")(x), self.token_sharding
+                )
                 skips.append(x)
 
-            x = make_block("mid_block")(x)
+            x = constrain_tokens(make_block("mid_block")(x), self.token_sharding)
 
             for i in range(self.depth // 2):
-                x = make_block(f"out_blocks_{i}", skip=self.skip)(x, skips.pop())
+                x = constrain_tokens(
+                    make_block(f"out_blocks_{i}", skip=self.skip)(x, skips.pop()),
+                    self.token_sharding,
+                )
 
         x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
         patch_dim = self.patch_size ** 2 * self.in_chans

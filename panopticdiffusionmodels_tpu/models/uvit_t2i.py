@@ -34,6 +34,7 @@ from typing import Any, Optional
 import flax.linen as nn
 import jax.numpy as jnp
 
+from ..parallel.mesh import constrain_tokens
 from .layers import (
     Block,
     Conv3x3,
@@ -84,6 +85,11 @@ class UViTT2I(nn.Module):
     attn_impl: str = "auto"
     # Opt-in tanh GELU (reference uses exact erf) — see layers.Mlp docstring.
     gelu_approx: bool = False
+    # Sequence parallelism: a NamedSharding for (B, L, C) token activations
+    # (batch over (dp, fsdp), tokens over 'sp'), set by the trainer when the
+    # mesh has sp > 1.  Re-asserted at the stream entry and every block so the
+    # partitioner keeps L sharded through the depth (parallel/mesh.py).
+    token_sharding: Optional[Any] = None
 
     @property
     def extras(self) -> int:
@@ -194,10 +200,16 @@ class UViTT2I(nn.Module):
         dual = enable_panoptic and self.separate
         img_len = self.extras + l
 
+        x = constrain_tokens(x, self.token_sharding)
+        m = constrain_tokens(m, self.token_sharding)
+
         def couple(mx, x, zc_name):
             """Split the mask-stream output and gate its image half into x."""
             x_add = ZeroConv(dtype=self.dtype, name=zc_name)(mx[:, :img_len, :])
-            return x + x_add, mx[:, img_len:, :]
+            return (
+                constrain_tokens(x + x_add, self.token_sharding),
+                constrain_tokens(mx[:, img_len:, :], self.token_sharding),
+            )
 
         if self.scan_blocks:
             from .scan_stack import (
@@ -215,6 +227,7 @@ class UViTT2I(nn.Module):
                 dtype=self.dtype,
                 attn_impl=self.attn_impl,
                 gelu_approx=self.gelu_approx,
+                token_sharding=self.token_sharding,
             )
             half = self.depth // 2
             if dual:
@@ -237,7 +250,7 @@ class UViTT2I(nn.Module):
                     x, length=half, remat=self.use_checkpoint,
                     remat_policy=self.remat_policy, name="in_blocks", **stack_cfg,
                 )
-                x = make_block("mid_block")(x)
+                x = constrain_tokens(make_block("mid_block")(x), self.token_sharding)
                 x = out_stack(
                     x, skips, length=half, remat=self.use_checkpoint,
                     remat_policy=self.remat_policy, use_skip=self.skip,
@@ -248,7 +261,9 @@ class UViTT2I(nn.Module):
             for i in range(self.depth // 2):
                 if dual:
                     mx = jnp.concatenate([x, m], axis=1)
-                x = make_block(f"in_blocks_{i}")(x)
+                x = constrain_tokens(
+                    make_block(f"in_blocks_{i}")(x), self.token_sharding
+                )
                 if dual:
                     mx = make_block(f"in_blocks_mask_{i}")(mx)
                     x, m = couple(mx, x, f"zero_convs_in_{i}")
@@ -257,7 +272,7 @@ class UViTT2I(nn.Module):
 
             if dual:
                 mx = jnp.concatenate([x, m], axis=1)
-            x = make_block("mid_block")(x)
+            x = constrain_tokens(make_block("mid_block")(x), self.token_sharding)
             if dual:
                 mx = make_block("mid_block_mask")(mx)
                 x, m = couple(mx, x, "zero_convs_mid")
@@ -265,7 +280,10 @@ class UViTT2I(nn.Module):
             for i in range(self.depth // 2):
                 if dual:
                     mx = jnp.concatenate([x, m], axis=1)
-                x = make_block(f"out_blocks_{i}", skip=self.skip)(x, skips.pop())
+                x = constrain_tokens(
+                    make_block(f"out_blocks_{i}", skip=self.skip)(x, skips.pop()),
+                    self.token_sharding,
+                )
                 if dual:
                     mx = make_block(f"out_blocks_mask_{i}", skip=self.skip)(
                         mx, skips_mask.pop()

@@ -11,10 +11,14 @@ TPU-native design is one `jax.sharding.Mesh` + NamedSharding annotations:
   * FSDP/ZeRO-style parameter sharding = 'fsdp' axis in the param shardings
     (see `sharding.py`); XLA inserts the all-gathers/reduce-scatters,
   * tensor parallelism = 'tp' axis on attention-head / MLP-hidden dims,
+  * sequence (context) parallelism = 'sp' axis on the TOKEN dim of activations
+    (params stay replicated across sp, so the partitioner psums grads over it);
+    the lever for the long-sequence 512-res panoptic geometry (L≈2126) where
+    per-token activations, not params, dominate HBM,
   * multi-host: `jax.distributed.initialize()` once at startup; DCN handled by
     the runtime.
 
-Mesh axes are always (dp, fsdp, tp); unused axes have size 1.
+Mesh axes are always (dp, fsdp, sp, tp); unused axes have size 1.
 """
 from __future__ import annotations
 
@@ -24,16 +28,17 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-AXES = ("dp", "fsdp", "tp")
+AXES = ("dp", "fsdp", "sp", "tp")
 
 
 def make_mesh(
     dp: Optional[int] = None,
     fsdp: int = 1,
     tp: int = 1,
+    sp: int = 1,
     devices: Optional[Sequence] = None,
 ) -> Mesh:
-    """Build a (dp, fsdp, tp) mesh over the available devices.
+    """Build a (dp, fsdp, sp, tp) mesh over the available devices.
 
     With only `dp=None` everything defaults to pure data parallelism over all
     devices — the reference's one supported strategy (SURVEY.md §2.2).
@@ -41,11 +46,11 @@ def make_mesh(
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
     if dp is None:
-        assert n % (fsdp * tp) == 0, f"{n} devices not divisible by fsdp*tp"
-        dp = n // (fsdp * tp)
-    need = dp * fsdp * tp
-    assert need <= n, f"mesh {dp}x{fsdp}x{tp} needs {need} devices, have {n}"
-    dev_array = np.asarray(devices[:need]).reshape(dp, fsdp, tp)
+        assert n % (fsdp * sp * tp) == 0, f"{n} devices not divisible by fsdp*sp*tp"
+        dp = n // (fsdp * sp * tp)
+    need = dp * fsdp * sp * tp
+    assert need <= n, f"mesh {dp}x{fsdp}x{sp}x{tp} needs {need} devices, have {n}"
+    dev_array = np.asarray(devices[:need]).reshape(dp, fsdp, sp, tp)
     return Mesh(dev_array, AXES)
 
 
@@ -57,6 +62,31 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
 
 def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
+
+
+def token_sharding(mesh: Mesh) -> Optional[NamedSharding]:
+    """Sharding constraint for (B, L, C) token activations under sequence
+    parallelism: tokens over 'sp', batch UNCONSTRAINED (the partitioner keeps
+    whatever the data input dictates — pinning it here would force batch-1
+    traces like `model.init` to satisfy dp*fsdp divisibility).  None when
+    sp == 1 (no constraint — propagation is optimal for the unsharded case).
+
+    The token count must be divisible by sp (true for every zoo geometry at
+    sp=2: image stream 334/1102 tokens, mask stream 590/2126)."""
+    if mesh.shape.get("sp", 1) == 1:
+        return None
+    return NamedSharding(mesh, P(P.UNCONSTRAINED, "sp"))
+
+
+def constrain_tokens(x, sharding: Optional[NamedSharding]):
+    """`with_sharding_constraint` for (B, L, C) token activations, or identity
+    when sequence parallelism is off (sharding=None).  Models call this at the
+    token-stream entry and at every block boundary so the partitioner keeps
+    the L axis sharded on 'sp' through the whole depth instead of silently
+    gathering after the first op it prefers replicated."""
+    if sharding is None or x is None:
+        return x
+    return jax.lax.with_sharding_constraint(x, sharding)
 
 
 def local_batch_size(global_batch_size: int, mesh: Mesh) -> int:

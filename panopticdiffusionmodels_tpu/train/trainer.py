@@ -53,6 +53,7 @@ from ..parallel import (
     replicated_sharding,
     shard_opt_state_rules,
     shard_params_rules,
+    token_sharding,
 )
 from ..samplers import DPMSolver, NoiseScheduleVP, euler_maruyama
 from ..utils import cnt_params, dct2str
@@ -106,9 +107,11 @@ class Trainer:
             dp=dp,
             fsdp=1 if mesh_cfg is None else mesh_cfg.fsdp,
             tp=1 if mesh_cfg is None else mesh_cfg.tp,
+            sp=1 if mesh_cfg is None else mesh_cfg.get("sp", 1),
         )
         self.batch_sharding = batch_sharding(self.mesh)
         self.repl_sharding = replicated_sharding(self.mesh)
+        self.token_sharding = token_sharding(self.mesh)  # None unless sp > 1
 
         # --- dataset -------------------------------------------------------
         ds_kwargs = dict(config.dataset)
@@ -122,6 +125,26 @@ class Trainer:
         # `train_t2i_discrete.py:166-171`).
         nnet_kwargs.pop("use_ground_truth", None)
         nnet_kwargs["dtype"] = _dtype(config.get("compute_dtype", "bfloat16"))
+        if self.token_sharding is not None:
+            # Sequence parallelism: the model re-asserts the token sharding at
+            # every block boundary.  Only the U-ViT families thread the
+            # constraint; the UNet family's conv/attention mix has no single
+            # token axis to shard.
+            if config.nnet.name not in ("uvit", "uvit_t2i"):
+                raise ValueError(
+                    f"mesh.sp>1 is not supported for nnet {config.nnet.name!r}"
+                )
+            nnet_kwargs["token_sharding"] = self.token_sharding
+            # The packed-qkv Pallas kernel is one opaque custom call — the
+            # SPMD partitioner cannot split it along L, so it would force a
+            # full all-gather of the sequence at every attention.  Route
+            # attention through XLA (partitionable einsums) under sp.
+            if nnet_kwargs.get("attn_impl", "auto") != "xla":
+                logging.info(
+                    "mesh.sp>1: forcing attn_impl='xla' (the Pallas kernel "
+                    "is not sequence-partitionable)"
+                )
+                nnet_kwargs["attn_impl"] = "xla"
         self.nnet = get_nnet(config.nnet.name, **nnet_kwargs)
         # PROCESS-CONSISTENT: this key seeds param init and the per-step loss
         # keys, both of which are replicated inputs to SPMD programs — folding

@@ -11,7 +11,9 @@ Protocols (BENCH_TASK env):
       the model the sampling headline (bench.py) serves.
   panoptic512 — dual-stream S/2 at 512 res (64x64x4 latents, 128x128 map,
       L~2126 tokens: `configs/mscoco_uvit_small_512.py`) — the long-sequence
-      training geometry where attention cost dominates.  Default batch 16.
+      training geometry where attention cost dominates.  Default batch 48
+      (the post-backward-kernel sweep optimum: 39.8/40.9/45.5/45.4 img/s at
+      24/32/48/64).
 
 A/B over training-side levers (remat policy, attention impl):
 
@@ -156,7 +158,7 @@ def run(policy: str, batch: int, steps: int = 8):
 
 
 def main():
-    default_b = "16" if os.environ.get("BENCH_TASK", "") == "panoptic512" else "64"
+    default_b = "48" if os.environ.get("BENCH_TASK", "") == "panoptic512" else "64"
     batch = int(os.environ.get("BENCH_BATCH", default_b))
     policies = sys.argv[1:] or ["", "dots_no_batch"]
     for p in policies:

@@ -148,6 +148,12 @@ def test_loader_skip_matches_uninterrupted_stream():
         for j in range(k, 9):
             np.testing.assert_array_equal(next(rit), want[j])
 
+    # dataset < global batch is refused at construction (and skip() has a
+    # belt-and-braces ValueError should an empty epoch ever arise).
+    with pytest.raises(AssertionError, match="smaller than one batch"):
+        Loader(SyntheticDataset([(4,)], n=4, seed=0), batch_size=8,
+               num_workers=0, drop_last=True)
+
 
 def test_synthetic_factory():
     ds = get_dataset("synthetic", n=16, z_shape=(8, 8, 8), clip_shape=(7, 16), mask_size=16)

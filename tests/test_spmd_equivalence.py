@@ -108,6 +108,25 @@ def test_fsdp_actually_shards_params_and_moments(tmp_path):
     np.testing.assert_allclose(sharded, ref, rtol=1e-4, atol=1e-5)
 
 
+def test_sp_matches_dp1(tmp_path):
+    """Sequence parallelism (token-dim activation sharding) is semantics-free:
+    dp2 x sp2 x tp2 == dp1, with attention routed through the partitionable
+    XLA path (the trainer forces attn_impl='xla' under sp)."""
+    a = _losses(dict(dp=1, fsdp=1, tp=1), tmp_path / "a")
+    b = _losses(dict(dp=2, fsdp=1, sp=2, tp=2), tmp_path / "b")
+    np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+
+
+def test_sp_trainer_wiring(tmp_path):
+    config = get_config("synthetic_tiny")
+    config.mesh.dp, config.mesh.sp = 4, 2
+    config.train.batch_size = 16
+    trainer = Trainer(config, str(tmp_path))
+    assert trainer.token_sharding is not None
+    assert trainer.nnet.token_sharding == trainer.token_sharding
+    assert trainer.nnet.attn_impl == "xla"
+
+
 def _samples(mesh_kwargs, tmp_path, speed_modes=False):
     config = get_config("synthetic_tiny")
     for k, v in mesh_kwargs.items():
@@ -129,5 +148,14 @@ def test_sampling_dp8_matches_dp1(tmp_path):
     layout-invariant: dp8 == dp1 to float tolerance."""
     ia, ma = _samples(dict(dp=1, fsdp=1, tp=1), tmp_path / "a", speed_modes=True)
     ib, mb = _samples(dict(dp=8, fsdp=1, tp=1), tmp_path / "b", speed_modes=True)
+    np.testing.assert_allclose(ia, ib, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(ma, mb, rtol=1e-4, atol=1e-4)
+
+
+def test_sampling_sp_matches_dp1(tmp_path):
+    """Sequence-parallel sampling (CFG dual-stream solver with the token dim
+    sharded over 'sp') == dp1."""
+    ia, ma = _samples(dict(dp=1, fsdp=1, tp=1), tmp_path / "a")
+    ib, mb = _samples(dict(dp=2, fsdp=2, sp=2, tp=1), tmp_path / "b")
     np.testing.assert_allclose(ia, ib, rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(ma, mb, rtol=1e-4, atol=1e-4)
