@@ -13,6 +13,12 @@ python train.py --config=celeba64_uvit_small
 python train.py --config=imagenet256_uvit_large \
     --config.mesh.fsdp=4 --config.mesh.tp=2
 
+# 512-res panoptic (L~2126 tokens): sequence parallelism shards the token dim
+# of activations across chips (params stay replicated over sp; attention runs
+# through XLA's partitionable path under sp)
+python train.py --config=mscoco_uvit_small_512 \
+    --config.mesh.dp=2 --config.mesh.sp=4
+
 # Headline: MS-COCO panoptic co-generation (dual-stream U-ViT-S/2),
 # fine-tuning from the published t2i weights with the image stream frozen
 python train.py --config=mscoco_uvit_small \
