@@ -19,6 +19,13 @@ python train.py --config=imagenet256_uvit_large \
 python train.py --config=mscoco_uvit_small_512 \
     --config.mesh.dp=2 --config.mesh.sp=4
 
+# Pipeline parallelism: boomerang schedule over the U-ViT depth (long skips
+# stay stage-local); stacked block params shard across stages.  8 microbatches
+# keeps the bubble fraction at 2(P-1)/(M+2P-2) = 20% for P=2
+python train.py --config=imagenet256_uvit_large \
+    --config.nnet.scan_blocks=True --config.mesh.pp=2 --config.mesh.fsdp=2 \
+    --config.train.pp_microbatches=8
+
 # Headline: MS-COCO panoptic co-generation (dual-stream U-ViT-S/2),
 # fine-tuning from the published t2i weights with the image stream frozen
 python train.py --config=mscoco_uvit_small \

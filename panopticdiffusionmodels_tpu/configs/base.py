@@ -7,9 +7,11 @@ Configs are ml_collections.ConfigDicts mirroring the reference's 15-config zoo
     `mask_size` (replacing the reference's `num_panoptic_class` /
     never-wired `patch_factor`, SURVEY.md §2.3),
   * `z_shape` etc. are channel-LAST (NHWC),
-  * `mesh` selects (dp, fsdp, sp, tp); dp = -1 means "all remaining devices";
-    sp shards the TOKEN dim of activations (sequence/context parallelism, for
-    long-sequence geometries like the 512-res panoptic dual stream),
+  * `mesh` selects (pp, dp, fsdp, sp, tp); dp = -1 means "all remaining
+    devices"; sp shards the TOKEN dim of activations (sequence/context
+    parallelism, for long-sequence geometries like the 512-res panoptic dual
+    stream); pp pipelines the scanned block stacks over depth
+    (parallel/pipeline.py — training path, requires nnet.scan_blocks),
   * `compute_dtype` selects bf16/f32 network compute.
 """
 from __future__ import annotations
@@ -33,7 +35,7 @@ def base_config(seed: int = 1234) -> ml_collections.ConfigDict:
     config.workdir = ""
     config.pretrained = ""
     config.mask_channel = 1
-    config.mesh = d(dp=-1, fsdp=1, sp=1, tp=1)
+    config.mesh = d(dp=-1, fsdp=1, sp=1, tp=1, pp=1)
     return config
 
 

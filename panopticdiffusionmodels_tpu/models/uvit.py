@@ -78,9 +78,21 @@ class UViT(nn.Module):
         return 2 if self.num_classes > 0 else 1
 
     @nn.compact
-    def __call__(self, x, timesteps, y=None):
-        """x: (B, H, W, C) NHWC; timesteps: (B,); y: optional (B,) int labels."""
+    def __call__(self, x, timesteps=None, y=None, stage: str = "full"):
+        """x: (B, H, W, C) NHWC; timesteps: (B,); y: optional (B,) int labels.
+
+        `stage` partitions the forward for pipeline parallelism
+        (parallel/pipeline.py): 'embed' returns the (B, extras+L, D) token
+        activations just before the block trunk; 'head' takes those token
+        activations (as `x`) and runs norm/decode/unpatchify/conv.  Module
+        names are identical across stages, so a 'full'-init param tree serves
+        every stage (flax looks params up lazily).
+        """
+        assert stage in ("full", "embed", "head"), stage
         num_patches = (self.img_size // self.patch_size) ** 2
+        if stage == "head":
+            l = num_patches
+            return self._head(x, l)
 
         x = PatchEmbed(
             patch_size=self.patch_size,
@@ -116,6 +128,8 @@ class UViT(nn.Module):
         )
         x = x + pos_embed.astype(x.dtype)
         x = constrain_tokens(x, self.token_sharding)
+        if stage == "embed":
+            return x
 
         block_cls = Block
         if self.use_checkpoint:
@@ -175,6 +189,9 @@ class UViT(nn.Module):
                     self.token_sharding,
                 )
 
+        return self._head(x, l)
+
+    def _head(self, x, l):
         x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
         patch_dim = self.patch_size ** 2 * self.in_chans
         x = nn.Dense(

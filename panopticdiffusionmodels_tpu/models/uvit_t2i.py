@@ -105,17 +105,39 @@ class UViTT2I(nn.Module):
     def __call__(
         self,
         x,
-        timesteps,
-        context,
+        timesteps=None,
+        context=None,
         mask_token=None,
         use_ground_truth: bool = False,
+        stage: str = "full",
     ):
         """x: (B, h, w, C) latent NHWC; context: (B, 77, clip_dim);
         mask_token: optional (B, mask_size, mask_size, mask_bits) analog bits.
 
         Returns noise (B, h, w, C), or (noise, mask_pred) when mask_token given.
+
+        `stage` partitions the forward for pipeline parallelism
+        (parallel/pipeline.py): 'embed' returns the (x, m) token carry just
+        before the block trunk (m is None unless dual-stream); 'head' takes
+        that carry as `x` and runs the decode heads.  Module names are
+        identical across stages, so a 'full'-init param tree serves every
+        stage.  In 'head' mode the panoptic flag is recovered statically:
+        from `m is not None` (separate) or the token count (joint).
         """
+        assert stage in ("full", "embed", "head"), stage
         num_patches = (self.img_size // self.patch_size) ** 2
+        if stage == "head":
+            x, m = x if isinstance(x, tuple) else (x, None)
+            if self.separate:
+                enable_panoptic = self.enable_panoptic and m is not None
+            else:
+                enable_panoptic = (
+                    self.enable_panoptic
+                    and x.shape[1] == self.extras + 2 * num_patches
+                )
+            return self._head(
+                x, m, num_patches, enable_panoptic, mask_token, use_ground_truth
+            )
         enable_panoptic = self.enable_panoptic and mask_token is not None
 
         x = PatchEmbed(
@@ -202,6 +224,8 @@ class UViTT2I(nn.Module):
 
         x = constrain_tokens(x, self.token_sharding)
         m = constrain_tokens(m, self.token_sharding)
+        if stage == "embed":
+            return (x, m)
 
         def couple(mx, x, zc_name):
             """Split the mask-stream output and gate its image half into x."""
@@ -290,6 +314,9 @@ class UViTT2I(nn.Module):
                     )
                     x, m = couple(mx, x, f"zero_convs_out_{i}")
 
+        return self._head(x, m, l, enable_panoptic, mask_token, use_ground_truth)
+
+    def _head(self, x, m, l, enable_panoptic, mask_token, use_ground_truth):
         x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
 
         decoder_pred = nn.Dense(
@@ -337,6 +364,8 @@ class UViTT2I(nn.Module):
         if self.conv:
             noise = Conv3x3(self.in_chans, dtype=self.dtype, name="final_layer")(noise)
 
-        if mask_token is not None:
+        # `enable_panoptic` also covers pipelined 'head' calls, where the mask
+        # state arrives in the carry and mask_token itself may be None.
+        if mask_token is not None or enable_panoptic:
             return noise, mask_pred
         return noise

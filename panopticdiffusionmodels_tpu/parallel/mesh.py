@@ -15,10 +15,17 @@ TPU-native design is one `jax.sharding.Mesh` + NamedSharding annotations:
     (params stay replicated across sp, so the partitioner psums grads over it);
     the lever for the long-sequence 512-res panoptic geometry (L≈2126) where
     per-token activations, not params, dominate HBM,
+  * pipeline parallelism = 'pp' axis over the DEPTH of the scanned block
+    stacks (see `pipeline.py`): stage s owns a contiguous slice of in-blocks
+    and the out-blocks that consume exactly those long skips, so skips stay
+    stage-local and only the token activation crosses stages via ppermute,
   * multi-host: `jax.distributed.initialize()` once at startup; DCN handled by
     the runtime.
 
-Mesh axes are always (dp, fsdp, sp, tp); unused axes have size 1.
+Mesh axes are always (pp, dp, fsdp, sp, tp); unused axes have size 1.  'pp'
+is outermost (slowest-varying over the device list) because pipeline traffic
+is the sparsest: one activation handoff per tick vs per-op collectives on the
+inner axes.
 """
 from __future__ import annotations
 
@@ -28,7 +35,7 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-AXES = ("dp", "fsdp", "sp", "tp")
+AXES = ("pp", "dp", "fsdp", "sp", "tp")
 
 
 def make_mesh(
@@ -36,9 +43,10 @@ def make_mesh(
     fsdp: int = 1,
     tp: int = 1,
     sp: int = 1,
+    pp: int = 1,
     devices: Optional[Sequence] = None,
 ) -> Mesh:
-    """Build a (dp, fsdp, sp, tp) mesh over the available devices.
+    """Build a (pp, dp, fsdp, sp, tp) mesh over the available devices.
 
     With only `dp=None` everything defaults to pure data parallelism over all
     devices — the reference's one supported strategy (SURVEY.md §2.2).
@@ -46,11 +54,15 @@ def make_mesh(
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
     if dp is None:
-        assert n % (fsdp * sp * tp) == 0, f"{n} devices not divisible by fsdp*sp*tp"
-        dp = n // (fsdp * sp * tp)
-    need = dp * fsdp * sp * tp
-    assert need <= n, f"mesh {dp}x{fsdp}x{sp}x{tp} needs {need} devices, have {n}"
-    dev_array = np.asarray(devices[:need]).reshape(dp, fsdp, sp, tp)
+        assert n % (pp * fsdp * sp * tp) == 0, (
+            f"{n} devices not divisible by pp*fsdp*sp*tp"
+        )
+        dp = n // (pp * fsdp * sp * tp)
+    need = dp * fsdp * sp * tp * pp
+    assert need <= n, (
+        f"mesh pp{pp}x{dp}x{fsdp}x{sp}x{tp} needs {need} devices, have {n}"
+    )
+    dev_array = np.asarray(devices[:need]).reshape(pp, dp, fsdp, sp, tp)
     return Mesh(dev_array, AXES)
 
 

@@ -10,6 +10,10 @@ per-model annotation plumbing:
   * 'fsdp' shards the largest remaining dim of every tensor with >= 2**16
     elements (ZeRO-3 semantics: params live sharded, XLA all-gathers just-in-time
     and reduce-scatters gradients),
+  * 'pp' shards the stacked-layer axis (axis 0) of the scanned block stacks
+    (in_blocks/out_blocks[_dual]) so each pipeline stage holds only its own
+    layer slice (see `pipeline.py`); non-pipelined consumers (sampling) still
+    work — the partitioner gathers just-in-time,
   * everything else is replicated.
 """
 from __future__ import annotations
@@ -27,12 +31,26 @@ _TP_ROW = ("proj", "fc2", "to_out", "ff_out")
 
 _FSDP_MIN_SIZE = 1 << 16
 
+# Scanned-stack module names whose params carry a leading stacked-layer axis
+# that the pipeline shards over 'pp' (parallel/pipeline.py).
+_PP_STACKED = ("in_blocks", "out_blocks", "in_blocks_dual", "out_blocks_dual")
+
 
 def _spec_for(path: Tuple[str, ...], shape, mesh: Mesh) -> P:
     tp = mesh.shape["tp"]
     fsdp = mesh.shape["fsdp"]
+    pp = mesh.shape["pp"]
     names = [None] * len(shape)
     path_strs = [str(getattr(k, "key", k)) for k in path]
+
+    if (
+        pp > 1
+        and shape
+        and shape[0] % pp == 0
+        and any(s in _PP_STACKED for s in path_strs)
+    ):
+        names[0] = "pp"
+
     # 2-D kernels, or 3-D with a leading stacked-layers axis (scan_blocks).
     is_kernel = path_strs and path_strs[-1] == "kernel" and len(shape) in (2, 3)
 

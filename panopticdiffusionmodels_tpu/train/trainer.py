@@ -55,6 +55,7 @@ from ..parallel import (
     shard_params_rules,
     token_sharding,
 )
+from ..parallel.pipeline import make_pipelined_apply
 from ..samplers import DPMSolver, NoiseScheduleVP, euler_maruyama
 from ..utils import cnt_params, dct2str
 from . import checkpoint as ckpt_lib
@@ -108,6 +109,7 @@ class Trainer:
             fsdp=1 if mesh_cfg is None else mesh_cfg.fsdp,
             tp=1 if mesh_cfg is None else mesh_cfg.tp,
             sp=1 if mesh_cfg is None else mesh_cfg.get("sp", 1),
+            pp=1 if mesh_cfg is None else mesh_cfg.get("pp", 1),
         )
         self.batch_sharding = batch_sharding(self.mesh)
         self.repl_sharding = replicated_sharding(self.mesh)
@@ -146,6 +148,35 @@ class Trainer:
                 )
                 nnet_kwargs["attn_impl"] = "xla"
         self.nnet = get_nnet(config.nnet.name, **nnet_kwargs)
+
+        # Pipeline parallelism: replace the model forward's block trunk with
+        # the 'pp'-staged boomerang pipeline (parallel/pipeline.py) — the
+        # training loss here, and build_sample_fn builds its own pipelined
+        # apply for the inference clone.
+        self._pipe_apply = None
+        pp = self.mesh.shape["pp"]
+        if pp > 1:
+            if config.nnet.name not in ("uvit", "uvit_t2i"):
+                raise ValueError(
+                    f"mesh.pp>1 is not supported for nnet {config.nnet.name!r}"
+                )
+            if not nnet_kwargs.get("scan_blocks", False):
+                raise ValueError("mesh.pp>1 requires nnet.scan_blocks=True")
+            if (config.nnet.depth // 2) % pp != 0:
+                raise ValueError(
+                    f"mesh.pp={pp} must divide depth/2={config.nnet.depth // 2}"
+                )
+            num_micro = int(config.train.get("pp_microbatches", 0)) or pp
+            data_shards = self.mesh.shape["dp"] * self.mesh.shape["fsdp"]
+            if config.train.batch_size % (num_micro * data_shards) != 0:
+                raise ValueError(
+                    f"batch_size {config.train.batch_size} must divide into "
+                    f"{num_micro} microbatches x {data_shards} data shards"
+                )
+            self._pipe_apply = make_pipelined_apply(
+                self.nnet, self.mesh, num_micro=num_micro
+            )
+            self._pp_num_micro = num_micro
         # PROCESS-CONSISTENT: this key seeds param init and the per-step loss
         # keys, both of which are replicated inputs to SPMD programs — folding
         # in process_index here would hand every host different "replicated"
@@ -285,6 +316,13 @@ class Trainer:
 
     # --- loss --------------------------------------------------------------
 
+    def _apply(self, params, *args, **kwargs):
+        """Training-path model forward: the pipelined trunk under mesh.pp>1,
+        plain nnet.apply otherwise."""
+        if self._pipe_apply is not None:
+            return self._pipe_apply(params, *args, **kwargs)
+        return self.nnet.apply(params, *args, **kwargs)
+
     def _loss(self, params, batch, key):
         cfgt = self.config.train
         metrics = {}
@@ -294,7 +332,7 @@ class Trainer:
             else:
                 x, y = (batch[0] if isinstance(batch, tuple) else batch), None
             sm = ScoreModel(
-                lambda xx, tt, **kw: self.nnet.apply(params, xx, tt, **kw),
+                lambda xx, tt, **kw: self._apply(params, xx, tt, **kw),
                 self.config.pred,
                 self.sde,
             )
@@ -307,7 +345,7 @@ class Trainer:
             k1, k2 = jax.random.split(key)
             z = sample_from_moments(k1, moments, self.config.autoencoder.scale_factor)
             sm = ScoreModel(
-                lambda xx, tt, **kw: self.nnet.apply(params, xx, tt, **kw),
+                lambda xx, tt, **kw: self._apply(params, xx, tt, **kw),
                 self.config.pred,
                 self.sde,
             )
@@ -321,7 +359,7 @@ class Trainer:
             z = sample_from_moments(k1, moments, self.config.autoencoder.scale_factor)
             loss = l_simple(
                 k2, z,
-                lambda xx, tt, **kw: self.nnet.apply(params, xx, tt, y),
+                lambda xx, tt, **kw: self._apply(params, xx, tt, y),
                 self.schedule,
             )
             metrics["loss"] = loss.mean()
@@ -334,7 +372,7 @@ class Trainer:
             panoptic = batch[2]
 
             def nnet_fn(xx, tt, mask_token=None, use_ground_truth=False):
-                return self.nnet.apply(
+                return self._apply(
                     params, xx, tt, context,
                     mask_token=mask_token, use_ground_truth=use_ground_truth,
                 )
@@ -352,7 +390,7 @@ class Trainer:
             return loss_eps.mean() + loss_mask.mean(), metrics
         loss = l_simple(
             k2, z,
-            lambda xx, tt, **kw: self.nnet.apply(params, xx, tt, context),
+            lambda xx, tt, **kw: self._apply(params, xx, tt, context),
             self.schedule,
         )
         metrics["loss"] = loss.mean()
@@ -427,6 +465,18 @@ class Trainer:
             if getattr(self.nnet, "attn_impl", None) == "auto"
             else self.nnet
         )
+        # Under a pp mesh, sampling also pipelines the block trunk (a model
+        # big enough to need pp for training needs it at inference too); the
+        # microbatch count self-adapts to eval batch sizes (incl. the CFG
+        # 2x-fused batch).  napply falls back to plain apply on call patterns
+        # the pipeline doesn't cover (e.g. image-only forwards of a dual
+        # model inside make_pipelined_apply itself).
+        if self._pipe_apply is not None:
+            napply = make_pipelined_apply(
+                nnet, self.mesh, num_micro=self._pp_num_micro
+            )
+        else:
+            napply = nnet.apply
 
         def maybe_decode(vae_params, z):
             if decode and has_vae and vae_params is not None:
@@ -437,7 +487,7 @@ class Trainer:
 
             def sample_fn(params, vae_params, key, y=None, n: int = 1):
                 sm = ScoreModel(
-                    lambda xx, tt, **kw: nnet.apply(params, xx, tt, **kw),
+                    lambda xx, tt, **kw: napply(params, xx, tt, **kw),
                     config.pred,
                     self.sde,
                 )
@@ -469,7 +519,7 @@ class Trainer:
 
             def sample_fn(params, vae_params, key, y, n: int = None):
                 cfg_fn = make_cfg_class_cond(
-                    lambda xx, tt, yy: nnet.apply(params, xx, tt, yy),
+                    lambda xx, tt, yy: napply(params, xx, tt, yy),
                     null_label=config.nnet.num_classes - 1,
                     scale=scale,
                     enabled=cfg_enabled,
@@ -502,9 +552,9 @@ class Trainer:
 
             def apply_nnet(xx, tt, cc, mask_token=None):
                 if use_gt:
-                    return nnet.apply(params, xx, tt, cc, mask_token=mask_token,
-                                      use_ground_truth=True)
-                return nnet.apply(params, xx, tt, cc, mask_token=mask_token)
+                    return napply(params, xx, tt, cc, mask_token=mask_token,
+                                  use_ground_truth=True)
+                return napply(params, xx, tt, cc, mask_token=mask_token)
 
             cfg_fn = make_cfg_t2i(apply_nnet, empty_context, scale=scale,
                                   enabled=cfg_enabled)

@@ -18,13 +18,18 @@ def test_mesh_shapes():
     mesh = make_mesh()
     assert mesh.shape["dp"] == 8 and mesh.shape["fsdp"] == 1 and mesh.shape["tp"] == 1
     mesh = make_mesh(dp=2, fsdp=2, tp=2)
-    assert mesh.shape == {"dp": 2, "fsdp": 2, "sp": 1, "tp": 2}
+    assert mesh.shape == {"pp": 1, "dp": 2, "fsdp": 2, "sp": 1, "tp": 2}
     with pytest.raises(AssertionError):
         make_mesh(dp=3, fsdp=2, tp=2)  # 12 > 8 devices
     # sub-meshes over fewer devices are allowed
-    assert make_mesh(dp=1).shape == {"dp": 1, "fsdp": 1, "sp": 1, "tp": 1}
+    assert make_mesh(dp=1).shape == {
+        "pp": 1, "dp": 1, "fsdp": 1, "sp": 1, "tp": 1,
+    }
     assert make_mesh(dp=2, sp=2, tp=2).shape == {
-        "dp": 2, "fsdp": 1, "sp": 2, "tp": 2,
+        "pp": 1, "dp": 2, "fsdp": 1, "sp": 2, "tp": 2,
+    }
+    assert make_mesh(pp=2, dp=2, fsdp=2).shape == {
+        "pp": 2, "dp": 2, "fsdp": 2, "sp": 1, "tp": 1,
     }
 
 
