@@ -108,6 +108,43 @@ def main():
                   f"grad rel dev {gdev:.2e}")
             assert fdev < 5e-3, (l, impl, fdev)
             assert gdev < 5e-3, (l, impl, gdev)
+
+    # 5. the pipelined apply (parallel/pipeline.py): shard_map + per-layer
+    # scan + ppermute with the Pallas kernel INSIDE the manual-SPMD body.
+    # A 1-device (pp=1) mesh traces the identical program structure as a
+    # multi-stage mesh, so this proves pallas-in-shard_map lowers and matches
+    # the plain forward on hardware (a multi-chip pp mesh can't be built in
+    # this 1-chip image).
+    from panopticdiffusionmodels_tpu.models import UViTT2I
+    from panopticdiffusionmodels_tpu.parallel.mesh import make_mesh
+    from panopticdiffusionmodels_tpu.parallel.pipeline import make_pipelined_apply
+
+    model = UViTT2I(
+        img_size=32, patch_size=2, in_chans=4, embed_dim=512, depth=12,
+        num_heads=8, clip_dim=768, num_clip_token=77, mask_bits=8,
+        mask_size=64, enable_panoptic=True, separate=True,
+        dtype=jnp.bfloat16, scan_blocks=True, attn_impl="infer",
+    )
+    b = 4
+    x = jnp.zeros((b, 32, 32, 4))
+    t = jnp.full((b,), 500.0)
+    ctx = jax.random.normal(jax.random.PRNGKey(1), (b, 77, 768)) * 0.1
+    mask = jax.random.normal(jax.random.PRNGKey(2), (b, 64, 64, 8)) * 0.1
+    params = jax.jit(lambda k: model.init(k, x, t, ctx, mask_token=mask))(
+        jax.random.PRNGKey(0)
+    )
+    pipe = make_pipelined_apply(model, make_mesh(dp=1, pp=1), num_micro=2)
+    plain = jax.jit(
+        lambda p, x, t, c, m: model.apply(p, x, t, c, mask_token=m)
+    )(params, x, t, ctx, mask)
+    piped = jax.jit(
+        lambda p, x, t, c, m: pipe(p, x, t, c, mask_token=m)
+    )(params, x, t, ctx, mask)
+    pdev = max(
+        rel(a, b2) for a, b2 in zip(jax.tree.leaves(plain), jax.tree.leaves(piped))
+    )
+    print(f"pipelined apply (pallas in shard_map) vs plain: rel dev {pdev:.2e}")
+    assert pdev < 1e-3, pdev
     print("kernel verification OK")
 
 
