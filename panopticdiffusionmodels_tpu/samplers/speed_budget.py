@@ -17,7 +17,13 @@ Inception-FD + mask-id-histogram TV vs the seed-to-seed noise floor), which
 superseded one round-2 pixel verdict: cfg_interval is demoted on panoptic
 geometries (every interval shifts the trained mask-id distribution 4.7-10.3x
 the seed floor, while a 25-NFE control passes at 0.9x — the shift is real,
-not gate noise).
+not gate noise).  The mask-guidance hold (`sample.cfg_interval_mask_hold`)
+was then gated as a re-promotion candidate and REJECTED: it is a no-op for
+the standard (0.0, 0.5) orientation (the unguided segment precedes any
+cached correction — outputs bit-identical to the plain interval) and for
+the guide-early orientation it cuts the drift ~35% but still FAILs at ~3x
+the 25-NFE control's own shift (BENCH.md "Mask-guidance hold").  The
+demotion stands with the hold evidence closed.
 """
 from __future__ import annotations
 
