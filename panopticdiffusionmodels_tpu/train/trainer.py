@@ -162,6 +162,12 @@ class Trainer:
                 )
             if not nnet_kwargs.get("scan_blocks", False):
                 raise ValueError("mesh.pp>1 requires nnet.scan_blocks=True")
+            if self.mesh.shape["sp"] > 1 or self.mesh.shape["tp"] > 1:
+                raise ValueError(
+                    "mesh.pp>1 requires sp == tp == 1 (the pipelined trunk "
+                    "runs under manual SPMD; sp/tp rely on the automatic "
+                    "partitioner)"
+                )
             if (config.nnet.depth // 2) % pp != 0:
                 raise ValueError(
                     f"mesh.pp={pp} must divide depth/2={config.nnet.depth // 2}"

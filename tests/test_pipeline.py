@@ -301,6 +301,10 @@ def test_pp_validation_errors(tmp_path):
     config.nnet.depth = 6  # half=3 not divisible by pp=2
     with pytest.raises(ValueError, match="depth"):
         Trainer(config, str(tmp_path / "b"))
+    config.nnet.depth = 4
+    config.mesh.dp, config.mesh.tp = 2, 2
+    with pytest.raises(ValueError, match="sp == tp == 1"):
+        Trainer(config, str(tmp_path / "c"))
 
 
 def test_pp_sampling_still_works(tmp_path):
