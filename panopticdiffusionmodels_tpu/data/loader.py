@@ -32,9 +32,12 @@ class Loader:
 
     Multi-process (multi-host) contract: `batch_size` is always the GLOBAL
     batch.  Every process computes the SAME shuffle (so `seed` must be
-    process-consistent) but loads and yields only its own contiguous
-    `batch_size / process_count` row slice — the rows its addressable devices
-    own under a process-major batch sharding.  `prefetch_to_device` then
+    process-consistent) but loads and yields only the rows its addressable
+    devices own — by default the contiguous process-major
+    `batch_size / process_count` slice; pass `local_rows` (computed from the
+    actual batch sharding via `parallel.mesh.process_batch_slice`) when the
+    layout replicates batch rows across processes (e.g. a pp axis spanning
+    hosts needs the FULL batch on every host).  `prefetch_to_device` then
     assembles the global array with `jax.make_array_from_process_local_data`.
     """
 
@@ -48,6 +51,7 @@ class Loader:
         seed: int = 0,
         process_index: int = 0,
         process_count: int = 1,
+        local_rows: slice = None,
     ):
         assert len(dataset) >= batch_size, "dataset smaller than one batch"
         assert batch_size % process_count == 0, (
@@ -68,8 +72,11 @@ class Loader:
         self.drop_last = drop_last
         self.pool = ThreadPoolExecutor(max_workers=num_workers) if num_workers > 0 else None
         self.rng = random.Random(seed)
-        per = batch_size // process_count
-        self.local_slice = slice(process_index * per, (process_index + 1) * per)
+        if local_rows is not None:
+            self.local_slice = local_rows
+        else:
+            per = batch_size // process_count
+            self.local_slice = slice(process_index * per, (process_index + 1) * per)
         self._pending: tuple = ()  # (epoch indices, start batch) set by skip()
 
     def _epoch_indices(self):
@@ -133,7 +140,8 @@ class Loader:
 
 
 def prefetch_to_device(iterator, sharding, size: int = 2,
-                       cast_f32=None, cast_int=None) -> Iterator[Any]:
+                       cast_f32=None, cast_int=None,
+                       global_batch: int = None) -> Iterator[Any]:
     """Move batches onto the mesh `size` steps ahead of consumption.
 
     Uses a background thread so host collation overlaps device compute; each
@@ -184,7 +192,12 @@ def prefetch_to_device(iterator, sharding, size: int = 2,
             if n_proc == 1:
                 return jax.device_put(x, sharding)
             x = np.asarray(x)
-            global_shape = (x.shape[0] * n_proc, *x.shape[1:])
+            # `global_batch` must come from the caller when the local rows are
+            # not a disjoint 1/n_proc slice (batch replicated across hosts,
+            # e.g. a pp axis spanning processes — the local rows ARE the full
+            # batch there and multiplying by n_proc would be wrong).
+            rows = global_batch if global_batch is not None else x.shape[0] * n_proc
+            global_shape = (rows, *x.shape[1:])
             return jax.make_array_from_process_local_data(sharding, x, global_shape)
 
         return jax.tree.map(one, batch)

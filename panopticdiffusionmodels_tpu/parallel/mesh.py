@@ -101,6 +101,27 @@ def constrain_tokens(x, sharding: Optional[NamedSharding]):
     return jax.lax.with_sharding_constraint(x, sharding)
 
 
+def process_batch_slice(sharding: NamedSharding, global_batch: int) -> slice:
+    """Rows of the global batch that THIS process's addressable devices need
+    under `sharding` (viewed over the batch dim alone).
+
+    For pure data layouts (dp/fsdp split across hosts) this is each process's
+    disjoint contiguous slice — the round-2 multi-host contract.  When the
+    batch is REPLICATED across processes on some mesh axis (e.g. a pp axis
+    spanning hosts: every host holds a full stage-local replica), the
+    addressable shards cover the whole batch and this returns the full range,
+    which `jax.make_array_from_process_local_data` requires the local data to
+    provide.  The union is contiguous for every layout `make_mesh` produces
+    (the host boundary always falls on an outer mesh axis)."""
+    imap = sharding.addressable_devices_indices_map((global_batch,))
+    starts, stops = [], []
+    for idx in imap.values():
+        s = idx[0]
+        starts.append(s.start or 0)
+        stops.append(global_batch if s.stop is None else s.stop)
+    return slice(min(starts), max(stops))
+
+
 def local_batch_size(global_batch_size: int, mesh: Mesh) -> int:
     n = mesh.shape["dp"] * mesh.shape["fsdp"]
     assert global_batch_size % n == 0, (

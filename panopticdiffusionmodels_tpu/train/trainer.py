@@ -672,10 +672,15 @@ class Trainer:
         native = self._native_stream(start_step=start_step)
         if native is not None:
             return prefetch_to_device(native, self.batch_sharding,
-                                      cast_f32=cast, cast_int=cast_int)
+                                      cast_f32=cast, cast_int=cast_int,
+                                      global_batch=self.config.train.batch_size)
         # seed is process-CONSISTENT: all hosts compute the same global
-        # shuffle and each loads only its own contiguous row slice
-        # (prefetch_to_device assembles the global array from the local rows).
+        # shuffle and each loads only the rows its addressable devices need
+        # under the ACTUAL batch sharding (disjoint slices for data layouts;
+        # the full batch when a pp axis spans hosts, where every host holds a
+        # replica).  prefetch_to_device assembles the global array from them.
+        from ..parallel.mesh import process_batch_slice
+
         loader = Loader(
             self.dataset.get_split("train", labeled=True),
             batch_size=self.config.train.batch_size,
@@ -683,6 +688,9 @@ class Trainer:
             seed=self.config.seed,
             process_index=jax.process_index(),
             process_count=jax.process_count(),
+            local_rows=process_batch_slice(
+                self.batch_sharding, self.config.train.batch_size
+            ),
         )
         if start_step:
             # Deterministic data resume: index-only fast-forward so the
@@ -690,13 +698,26 @@ class Trainer:
             # would have (one batch per optimizer step).
             loader.skip(start_step)
         return prefetch_to_device(iter(loader), self.batch_sharding,
-                                  cast_f32=cast, cast_int=cast_int)
+                                  cast_f32=cast, cast_int=cast_int,
+                                  global_batch=self.config.train.batch_size)
 
     def _native_stream(self, start_step: int = 0):
         """C++ fastloader path for MS-COCO feature dirs (native/fastloader.cpp);
         falls back to the Python loader when unavailable."""
         if self.task != "t2i_discrete" or not self.config.get("native_loader", True):
             return None
+        if jax.process_count() > 1:
+            from ..parallel.mesh import process_batch_slice
+
+            s = process_batch_slice(self.batch_sharding,
+                                    self.config.train.batch_size)
+            if (s.stop - s.start) * jax.process_count() != self.config.train.batch_size:
+                # The C++ loader's multi-process contract is DISJOINT strided
+                # file subsets per process; a layout that replicates batch
+                # rows across hosts (pp spanning processes) needs identical
+                # rows on every host — use the Python loader's shared-shuffle
+                # path instead.
+                return None
         from ..data.datasets import MSCOCO256Features
         from ..data import native_loader
 

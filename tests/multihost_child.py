@@ -31,6 +31,7 @@ def main():
     port = sys.argv[2]
     out_path = sys.argv[3]
     workdir = sys.argv[4]
+    mesh_kind = sys.argv[5] if len(sys.argv) > 5 else "default"
     jax.distributed.initialize(
         f"localhost:{port}", num_processes=2, process_id=process_id
     )
@@ -42,7 +43,15 @@ def main():
     from panopticdiffusionmodels_tpu.train.trainer import Trainer
 
     config = get_config("synthetic_tiny")
-    config.mesh.dp, config.mesh.fsdp, config.mesh.tp = 2, 2, 2
+    if mesh_kind == "pp":
+        # One pipeline stage per process ('pp' is the outermost mesh axis, so
+        # the host boundary falls between stages): the tick ppermutes cross
+        # the process boundary, and the batch is REPLICATED across hosts —
+        # each process must feed the FULL batch (process_batch_slice).
+        config.mesh.dp, config.mesh.fsdp, config.mesh.pp = 2, 2, 2
+        config.nnet.scan_blocks = True
+    else:
+        config.mesh.dp, config.mesh.fsdp, config.mesh.tp = 2, 2, 2
     config.train.batch_size = 16
     config.num_workers = 2
     trainer = Trainer(config, workdir)

@@ -32,9 +32,13 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def _single_process_losses(tmp_path, steps=3):
+def _single_process_losses(tmp_path, steps=3, mesh_kind="default"):
     config = get_config("synthetic_tiny")
-    config.mesh.dp, config.mesh.fsdp, config.mesh.tp = 2, 2, 2
+    if mesh_kind == "pp":
+        config.mesh.dp, config.mesh.fsdp, config.mesh.pp = 2, 2, 2
+        config.nnet.scan_blocks = True
+    else:
+        config.mesh.dp, config.mesh.fsdp, config.mesh.tp = 2, 2, 2
     config.train.batch_size = 16
     config.num_workers = 2
     trainer = Trainer(config, str(tmp_path))
@@ -48,7 +52,7 @@ def _single_process_losses(tmp_path, steps=3):
     return out
 
 
-def test_two_process_train_matches_single_process(tmp_path):
+def _run_two_process(tmp_path, mesh_kind):
     port = _free_port()
     out_path = str(tmp_path / "losses.json")
     env = dict(os.environ)
@@ -60,7 +64,7 @@ def test_two_process_train_matches_single_process(tmp_path):
     procs = [
         subprocess.Popen(
             [sys.executable, CHILD, str(i), str(port), out_path,
-             str(tmp_path / f"wd{i}")],
+             str(tmp_path / f"wd{i}"), mesh_kind],
             env=env, cwd=REPO,
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
         )
@@ -70,6 +74,22 @@ def test_two_process_train_matches_single_process(tmp_path):
     for p, o in zip(procs, outs):
         assert p.returncode == 0, f"child failed:\n{o[-4000:]}"
     with open(out_path) as f:
-        two_proc = json.load(f)
+        return json.load(f)
+
+
+def test_two_process_train_matches_single_process(tmp_path):
+    two_proc = _run_two_process(tmp_path, "default")
     single = _single_process_losses(tmp_path / "single")
+    np.testing.assert_allclose(two_proc, single, rtol=1e-4, atol=1e-5)
+
+
+def test_two_process_pipeline_stage_per_host(tmp_path):
+    """Cross-host pipeline parallelism: one pp stage per process ('pp' is the
+    outermost mesh axis), so every tick's activation ppermutes cross the
+    process boundary and the batch is replicated across hosts — each process
+    feeds the FULL batch via the sharding-derived row slice
+    (`parallel.mesh.process_batch_slice`).  Losses must match the
+    single-process pp run."""
+    two_proc = _run_two_process(tmp_path, "pp")
+    single = _single_process_losses(tmp_path / "single", mesh_kind="pp")
     np.testing.assert_allclose(two_proc, single, rtol=1e-4, atol=1e-5)
