@@ -154,6 +154,9 @@ class Attention(nn.Module):
     qk_scale: Optional[float] = None
     dtype: Dtype = jnp.float32
     attn_impl: str = "auto"
+    # NamedSharding of (B, L, C) activations under sequence parallelism;
+    # consumed only by the 'ring' impl (ops/ring_attention.py).
+    token_sharding: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x):
@@ -168,7 +171,9 @@ class Attention(nn.Module):
             dtype=self.dtype,
             name="qkv",
         )(x)
-        out = attention_qkv(qkv, self.num_heads, scale=scale, impl=self.attn_impl)
+        out = attention_qkv(qkv, self.num_heads, scale=scale,
+                            impl=self.attn_impl,
+                            token_sharding=self.token_sharding)
         return nn.Dense(
             c,
             kernel_init=default_init,
@@ -191,6 +196,7 @@ class Block(nn.Module):
     dtype: Dtype = jnp.float32
     attn_impl: str = "auto"
     gelu_approx: bool = False
+    token_sharding: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x, skip=None):
@@ -209,6 +215,7 @@ class Block(nn.Module):
             qk_scale=self.qk_scale,
             dtype=self.dtype,
             attn_impl=self.attn_impl,
+            token_sharding=self.token_sharding,
             name="attn",
         )(nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x))
         x = x + Mlp(

@@ -88,6 +88,7 @@ class _BlockBody(nn.Module):
             dtype=self.dtype,
             attn_impl=self.attn_impl,
             gelu_approx=self.gelu_approx,
+            token_sharding=self.token_sharding,
             name="block",
         )(x, skip)
         x = constrain_tokens(x, self.token_sharding)
@@ -144,6 +145,7 @@ class _DualBody(nn.Module):
                 dtype=self.dtype,
                 attn_impl=self.attn_impl,
                 gelu_approx=self.gelu_approx,
+                token_sharding=self.token_sharding,
                 name=name,
             )
 

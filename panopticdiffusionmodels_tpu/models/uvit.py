@@ -147,6 +147,7 @@ class UViT(nn.Module):
                 dtype=self.dtype,
                 attn_impl=self.attn_impl,
                 gelu_approx=self.gelu_approx,
+                token_sharding=self.token_sharding,
                 name=name,
             )
 

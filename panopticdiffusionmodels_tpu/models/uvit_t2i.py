@@ -216,6 +216,7 @@ class UViTT2I(nn.Module):
                 dtype=self.dtype,
                 attn_impl=self.attn_impl,
                 gelu_approx=self.gelu_approx,
+                token_sharding=self.token_sharding,
                 name=name,
             )
 

@@ -100,7 +100,7 @@ _qkv_attn_trainable.defvjp(_qkv_attn_fwd, _qkv_attn_bwd)
 
 
 def attention_qkv(qkv, heads: int, *, scale: Optional[float] = None,
-                  impl: str = "auto"):
+                  impl: str = "auto", token_sharding=None):
     """Attention from the qkv projection's packed (B, L, 3C) output; returns
     (B, L, C) with heads concatenated (the output projection's input layout).
 
@@ -113,10 +113,22 @@ def attention_qkv(qkv, heads: int, *, scale: Optional[float] = None,
                  flavor (A/B handles; 'auto' picks between these).
       'xla'    — force the XLA path.
       'pallas' — force the kernel (TPU only).
+      'ring'   — sequence-parallel ring attention over the mesh's 'sp' axis
+                 (needs `token_sharding`; shapes that don't tile the mesh —
+                 e.g. batch-1 init traces — fall back to XLA, which the
+                 partitioner can still split along L).
     """
     d = qkv.shape[-1] // 3 // heads
     if scale is None:
         scale = d ** -0.5
+    if impl == "ring":
+        from .ring_attention import ring_attention_qkv, ring_supported
+
+        if token_sharding is not None and ring_supported(
+            token_sharding.mesh, qkv.shape[0], qkv.shape[1]
+        ):
+            return ring_attention_qkv(qkv, heads, scale, token_sharding)
+        impl = "xla"
     on_tpu = jax.default_backend() == "tpu"
     # The kernel holds one (L, 3C) slice + an f32 score block in VMEM (whole
     # (L, L) for short sequences, q-chunked (Q_CHUNK, L) beyond MAX_FULL_SEQ,

@@ -139,14 +139,18 @@ class Trainer:
             nnet_kwargs["token_sharding"] = self.token_sharding
             # The packed-qkv Pallas kernel is one opaque custom call — the
             # SPMD partitioner cannot split it along L, so it would force a
-            # full all-gather of the sequence at every attention.  Route
-            # attention through XLA (partitionable einsums) under sp.
-            if nnet_kwargs.get("attn_impl", "auto") != "xla":
+            # full all-gather of the sequence at every attention.  The
+            # sequence-partitionable native path is ring attention
+            # (ops/ring_attention.py): K/V shards rotate over the 'sp' ring
+            # via ppermute, streaming softmax keeps it exact, and no (L, C)
+            # gather ever materializes.  attn_impl='xla' remains the opt-out
+            # (partitionable einsums, partitioner-chosen gathers).
+            if nnet_kwargs.get("attn_impl", "auto") not in ("xla", "ring"):
                 logging.info(
-                    "mesh.sp>1: forcing attn_impl='xla' (the Pallas kernel "
-                    "is not sequence-partitionable)"
+                    "mesh.sp>1: routing attention to the 'sp'-ring kernel "
+                    "(the Pallas custom call is not sequence-partitionable)"
                 )
-                nnet_kwargs["attn_impl"] = "xla"
+                nnet_kwargs["attn_impl"] = "ring"
         self.nnet = get_nnet(config.nnet.name, **nnet_kwargs)
 
         # Pipeline parallelism: replace the model forward's block trunk with

@@ -1,0 +1,135 @@
+"""Ring attention over the 'sp' mesh axis (ops/ring_attention.py).
+
+The reference has no sequence parallelism (SURVEY.md §2.2 — attention is
+always full and single-device, reference `libs/uvit.py:66-92`); ring
+attention is the TPU-native path that makes the 'sp' axis useful without
+ever gathering K/V.  Semantics contract: bit-comparable to the full XLA
+attention (the streaming softmax re-brackets the same f32 sums), forward
+AND backward, standalone and inside the full trainer.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from panopticdiffusionmodels_tpu.configs import get_config
+from panopticdiffusionmodels_tpu.ops.attention import (
+    _xla_attention_qkv,
+    attention_qkv,
+)
+from panopticdiffusionmodels_tpu.ops.ring_attention import (
+    ring_attention_qkv,
+    ring_supported,
+)
+from panopticdiffusionmodels_tpu.parallel.mesh import make_mesh, token_sharding
+from panopticdiffusionmodels_tpu.train.trainer import Trainer
+
+
+def _qkv(b=4, l=16, c=32, dtype=jnp.float32, seed=0):
+    rng = np.random.default_rng(seed)
+    return jnp.asarray(rng.normal(size=(b, l, 3 * c)), dtype=dtype)
+
+
+@pytest.mark.parametrize("sp,dp", [(2, 4), (4, 2), (8, 1)])
+def test_forward_matches_full_attention(sp, dp):
+    mesh = make_mesh(dp=dp, sp=sp)
+    ts = token_sharding(mesh)
+    qkv = _qkv()
+    heads, scale = 4, (32 // 4) ** -0.5
+    ref = _xla_attention_qkv(qkv, heads, scale)
+    out = jax.jit(lambda t: ring_attention_qkv(t, heads, scale, ts))(qkv)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_grad_matches_full_attention():
+    mesh = make_mesh(dp=2, sp=4)
+    ts = token_sharding(mesh)
+    qkv = _qkv(seed=1)
+    heads, scale = 4, (32 // 4) ** -0.5
+
+    g_ring = jax.jit(jax.grad(
+        lambda t: jnp.sum(ring_attention_qkv(t, heads, scale, ts) ** 2)
+    ))(qkv)
+    g_ref = jax.jit(jax.grad(
+        lambda t: jnp.sum(_xla_attention_qkv(t, heads, scale) ** 2)
+    ))(qkv)
+    np.testing.assert_allclose(np.asarray(g_ring), np.asarray(g_ref),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_bf16_forward_close():
+    """bf16 operands, f32 streaming accumulators — same tolerance class as
+    the XLA path's own f32-accumulated softmax."""
+    mesh = make_mesh(dp=1, sp=4)
+    ts = token_sharding(mesh)
+    qkv = _qkv(b=2, l=32, c=64, dtype=jnp.bfloat16, seed=2)
+    heads, scale = 4, (64 // 4) ** -0.5
+    ref = _xla_attention_qkv(qkv, heads, scale).astype(jnp.float32)
+    out = jax.jit(
+        lambda t: ring_attention_qkv(t, heads, scale, ts)
+    )(qkv).astype(jnp.float32)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-2, atol=2e-2)
+
+
+def test_dispatch_fallbacks():
+    """impl='ring' must degrade to XLA (not crash) whenever the shape cannot
+    tile the mesh: batch-1 init traces, token counts not divisible by sp,
+    tp>1 meshes, and the no-mesh (token_sharding=None) case."""
+    heads, scale = 4, (32 // 4) ** -0.5
+    ref1 = _xla_attention_qkv(_qkv(b=1, l=16), heads, scale)
+    ref2 = _xla_attention_qkv(_qkv(b=4, l=18), heads, scale)
+
+    mesh = make_mesh(dp=2, sp=4)
+    ts = token_sharding(mesh)
+    assert not ring_supported(mesh, 1, 16)       # batch-1 trace
+    assert not ring_supported(mesh, 4, 18)       # L % sp != 0
+    assert not ring_supported(make_mesh(dp=4, sp=1, tp=2), 4, 16)  # tp > 1
+    assert not ring_supported(make_mesh(dp=8), 4, 16)              # sp == 1
+
+    out1 = attention_qkv(_qkv(b=1, l=16), heads, scale=scale, impl="ring",
+                         token_sharding=ts)
+    out2 = attention_qkv(_qkv(b=4, l=18), heads, scale=scale, impl="ring",
+                         token_sharding=ts)
+    out3 = attention_qkv(_qkv(b=1, l=16), heads, scale=scale, impl="ring",
+                         token_sharding=None)
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(ref1), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(ref2), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(out3), np.asarray(ref1), rtol=1e-6)
+
+
+def _losses(mesh_kwargs, tmp_path, steps=3):
+    config = get_config("synthetic_tiny")
+    for k, v in mesh_kwargs.items():
+        config.mesh[k] = v
+    config.train.batch_size = 16
+    trainer = Trainer(config, str(tmp_path))
+    stream = trainer.data_stream()
+    out = []
+    for i in range(steps):
+        batch = next(stream)
+        key = jax.random.fold_in(jax.random.PRNGKey(7), i)
+        trainer.state, metrics = trainer._train_step(trainer.state, batch, key)
+        out.append((float(metrics["loss"]), float(metrics["loss_mask"])))
+    return out
+
+
+def test_trainer_sp_ring_matches_dp1(tmp_path):
+    """Full dual-stream panoptic train step with the RING attention actually
+    engaged (sp-only mesh, tp=1, batch divisible) == unsharded dp1: grads flow
+    through ppermute + streaming softmax inside remat'd scanned blocks."""
+    a = _losses(dict(dp=1, fsdp=1, sp=1, tp=1), tmp_path / "a")
+    b = _losses(dict(dp=2, fsdp=1, sp=4, tp=1), tmp_path / "b")
+    np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+
+
+def test_trainer_sp_ring_sampling_matches_dp1(tmp_path):
+    """The jitted CFG sampling step under an sp-ring mesh == dp1 (inference
+    path: build_sample_fn keeps attn_impl='ring' for the sampling clone)."""
+    from tests.test_spmd_equivalence import _samples
+
+    ia, ma = _samples(dict(dp=1, fsdp=1, tp=1), tmp_path / "a")
+    ib, mb = _samples(dict(dp=2, fsdp=1, sp=4, tp=1), tmp_path / "b")
+    np.testing.assert_allclose(ia, ib, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(ma, mb, rtol=1e-4, atol=1e-4)

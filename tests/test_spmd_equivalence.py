@@ -110,8 +110,9 @@ def test_fsdp_actually_shards_params_and_moments(tmp_path):
 
 def test_sp_matches_dp1(tmp_path):
     """Sequence parallelism (token-dim activation sharding) is semantics-free:
-    dp2 x sp2 x tp2 == dp1, with attention routed through the partitionable
-    XLA path (the trainer forces attn_impl='xla' under sp)."""
+    dp2 x sp2 x tp2 == dp1.  With tp>1 the 'ring' impl falls back to the
+    partitionable XLA attention at call time (ring_supported rejects tp>1);
+    the sp-only ring path is covered in tests/test_ring_attention.py."""
     a = _losses(dict(dp=1, fsdp=1, tp=1), tmp_path / "a")
     b = _losses(dict(dp=2, fsdp=1, sp=2, tp=2), tmp_path / "b")
     np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
@@ -124,7 +125,7 @@ def test_sp_trainer_wiring(tmp_path):
     trainer = Trainer(config, str(tmp_path))
     assert trainer.token_sharding is not None
     assert trainer.nnet.token_sharding == trainer.token_sharding
-    assert trainer.nnet.attn_impl == "xla"
+    assert trainer.nnet.attn_impl == "ring"
 
 
 def _samples(mesh_kwargs, tmp_path, speed_modes=False):
