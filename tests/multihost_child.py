@@ -50,6 +50,11 @@ def main():
         # each process must feed the FULL batch (process_batch_slice).
         config.mesh.dp, config.mesh.fsdp, config.mesh.pp = 2, 2, 2
         config.nnet.scan_blocks = True
+    elif mesh_kind == "sp":
+        # Sequence parallelism with the dp axis split across hosts: the
+        # 'sp' ring (ops/ring_attention.py, tp=1 so ring is engaged) rotates
+        # K/V intra-host while each host feeds its disjoint batch rows.
+        config.mesh.dp, config.mesh.fsdp, config.mesh.sp = 2, 2, 2
     else:
         config.mesh.dp, config.mesh.fsdp, config.mesh.tp = 2, 2, 2
     config.train.batch_size = 16

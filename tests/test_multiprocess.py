@@ -37,6 +37,8 @@ def _single_process_losses(tmp_path, steps=3, mesh_kind="default"):
     if mesh_kind == "pp":
         config.mesh.dp, config.mesh.fsdp, config.mesh.pp = 2, 2, 2
         config.nnet.scan_blocks = True
+    elif mesh_kind == "sp":
+        config.mesh.dp, config.mesh.fsdp, config.mesh.sp = 2, 2, 2
     else:
         config.mesh.dp, config.mesh.fsdp, config.mesh.tp = 2, 2, 2
     config.train.batch_size = 16
@@ -80,6 +82,17 @@ def _run_two_process(tmp_path, mesh_kind):
 def test_two_process_train_matches_single_process(tmp_path):
     two_proc = _run_two_process(tmp_path, "default")
     single = _single_process_losses(tmp_path / "single")
+    np.testing.assert_allclose(two_proc, single, rtol=1e-4, atol=1e-5)
+
+
+def test_two_process_sp_ring_matches_single_process(tmp_path):
+    """Sequence parallelism under multi-process launch: dp split across the
+    two hosts (disjoint batch rows per process), the 'sp' ring attention
+    (ops/ring_attention.py; tp=1 so the ring is engaged, not the XLA
+    fallback) rotating K/V intra-host.  Losses must match the in-process
+    single-controller run on the same mesh shape."""
+    two_proc = _run_two_process(tmp_path, "sp")
+    single = _single_process_losses(tmp_path / "single", mesh_kind="sp")
     np.testing.assert_allclose(two_proc, single, rtol=1e-4, atol=1e-5)
 
 
