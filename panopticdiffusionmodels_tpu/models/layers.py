@@ -18,6 +18,7 @@ from typing import Any, Optional
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 
 from ..ops.attention import attention_qkv
 
@@ -174,6 +175,12 @@ class Attention(nn.Module):
         out = attention_qkv(qkv, self.num_heads, scale=scale,
                             impl=self.attn_impl,
                             token_sharding=self.token_sharding)
+        # Names the attention output for remat_policy='save_attn'
+        # (scan_stack.resolve_remat_policy): saving it lets the remat replay
+        # drop the forward attention kernel entirely — the flash-style VJP
+        # needs only qkv (recomputed from the cheap LN+GEMM replay).  A bare
+        # `name` primitive otherwise; erased at lowering, zero cost.
+        out = checkpoint_name(out, "attn_out")
         return nn.Dense(
             c,
             kernel_init=default_init,

@@ -41,6 +41,12 @@ def resolve_remat_policy(name: Optional[str]):
         "dots_no_batch": jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
         "nothing": jax.checkpoint_policies.nothing_saveable,
         "everything": jax.checkpoint_policies.everything_saveable,
+        # Save ONLY the per-block attention outputs (named in
+        # models/layers.py::Attention): one bf16 (B, L, C) per block —
+        # far less HBM than dots_no_batch's every-GEMM-output — and the
+        # remat replay skips re-running the attention kernel (its VJP
+        # residual is qkv, which the replay still recomputes cheaply).
+        "save_attn": jax.checkpoint_policies.save_only_these_names("attn_out"),
     }
     if name not in policies:
         raise ValueError(f"unknown remat_policy {name!r}; one of {sorted(policies)}")

@@ -157,7 +157,7 @@ def test_remat_policy_grads_match_default(rng):
         return jnp.mean(model.apply(p, x, t) ** 2)
 
     l_ref, g_ref = jax.value_and_grad(lambda p: loss(ref_model, p))(params)
-    for policy in ("dots", "dots_no_batch"):
+    for policy in ("dots", "dots_no_batch", "save_attn"):
         model = build(policy)
         l, g = jax.value_and_grad(lambda p: loss(model, p))(params)
         assert float(jnp.abs(l - l_ref)) < 1e-6
