@@ -46,10 +46,14 @@ Specs: exactA|exactB|exactC  gelu  accel=<tau>  gelu_accel=<tau>
        interval=<lo>,<hi>  combo=<tau>:<lo>,<hi>  full=<tau>:<lo>,<hi>
        steps=<n>  report
 Geos:  imagenet (U-ViT-L/2 headline), panoptic (S/2), panoptic_large (L),
-       trained (class-cond U-ViT trained on chip), trained_panoptic
-       (dual-stream S/2 trained on a coupled latent+mask distribution —
-       the geometry that gates the MASK-stream speed modes).
-Env:   QG_N (samples, default 1024), QG_BATCH (default 32), QG_DIR.
+       trained (class-cond U-ViT trained on chip), trained_L (same but at
+       the FLAGSHIP U-ViT-L/2 scale — certifies the speed modes at the
+       geometry of the headline claim), trained_panoptic (dual-stream S/2
+       trained on a coupled latent+mask distribution — the geometry that
+       gates the MASK-stream speed modes).
+Env:   QG_N (samples, default 1024), QG_BATCH (default 32), QG_DIR,
+       QG_INSTANCE (train/evaluate an independent instance for the
+       cross-instance calibration of the control-normalized verdicts).
 One TPU process at a time (CLAUDE.md).
 """
 import json
@@ -124,8 +128,26 @@ def _build_panoptic(batch, accel, interval, gelu, large, hold=False):
     return pipeline, params, vae_params, cond
 
 
-_TRAINED_PARAMS = os.path.join(
-    os.environ.get("QG_DIR", "/root/repo/quality_gate"), "trained_params.msgpack")
+# Instance suffix (QG_INSTANCE): trains/evaluates an INDEPENDENT model
+# instance (own params file + own artifact dir).  Round-3 finding: gate
+# verdicts are trained-instance-dependent (a sharper instance rated even the
+# 25-NFE control MARGINAL vs the seed floor), so cross-instance calibration
+# needs >=3 instances whose reports are then normalized to each instance's
+# own 25-NFE control (see report()).
+_INSTANCE = os.environ.get("QG_INSTANCE", "")
+
+
+def _params_path(geo):
+    suffix = f"_{_INSTANCE}" if _INSTANCE else ""
+    return os.path.join(os.environ.get("QG_DIR", "/root/repo/quality_gate"),
+                        f"{geo}{suffix}_params.msgpack")
+
+
+# Model scale per trained geometry: (embed_dim, depth, num_heads).
+# trained_L is the FLAGSHIP geometry (U-ViT-L/2: the exact network size of
+# configs/imagenet256_uvit_large) so speed-mode certification matches the
+# scale of the headline claim (round-3 verdict weak #2).
+_GEO_SCALE = {"trained": (512, 12, 8), "trained_L": (1024, 20, 16)}
 
 
 def _class_patterns(num_classes=10):
@@ -160,24 +182,26 @@ def _structured_batch(rs: np.random.RandomState, batch: int, num_classes=10):
     return x0.astype(np.float32), y.astype(np.int32)
 
 
-def _trained_model(gelu, attn_impl="infer"):
+def _trained_model(gelu, attn_impl="infer", geo="trained", use_checkpoint=False):
     from panopticdiffusionmodels_tpu.models import UViT
 
-    # S/2 scale at the headline's 32x32x4 latent geometry; 10 real classes +
-    # null label 10 for CFG (the protocol pipeline shape, smaller network).
-    # attn_impl: "infer" (packed-qkv kernel) for sampling, "auto" for the
-    # training loop (params are impl-independent; the bare infer dispatch
-    # has no VJP outside the trainer's recompute machinery).
+    # S/2 ("trained") or L/2 ("trained_L") scale at the headline's 32x32x4
+    # latent geometry; 10 real classes + null label 10 for CFG (the protocol
+    # pipeline shape).  attn_impl: "infer" (packed-qkv kernel) for sampling,
+    # "auto" for the training loop (params are impl-independent; the bare
+    # infer dispatch has no VJP outside the trainer's recompute machinery).
+    embed_dim, depth, heads = _GEO_SCALE[geo]
     return UViT(
-        img_size=32, patch_size=2, in_chans=4, embed_dim=512, depth=12,
-        num_heads=8, num_classes=11, dtype=jnp.bfloat16, scan_blocks=True,
-        attn_impl=attn_impl, gelu_approx=gelu,
+        img_size=32, patch_size=2, in_chans=4, embed_dim=embed_dim,
+        depth=depth, num_heads=heads, num_classes=11, dtype=jnp.bfloat16,
+        scan_blocks=True, attn_impl=attn_impl, gelu_approx=gelu,
+        use_checkpoint=use_checkpoint,
     )
 
 
-def train_gate_model(seconds: float = 600.0, batch: int = 64):
+def train_gate_model(seconds: float = 600.0, batch: int = 64, geo="trained"):
     """Train the gate model on the structured distribution (CFG-ready: 10%
-    unconditional dropout), EMA the params, save to _TRAINED_PARAMS."""
+    unconditional dropout), EMA the params, save to _params_path(geo)."""
     import flax
     import optax
 
@@ -186,7 +210,9 @@ def train_gate_model(seconds: float = 600.0, batch: int = 64):
         stable_diffusion_beta_schedule,
     )
 
-    model = _trained_model(False, attn_impl="auto")
+    # L-scale needs remat to fit training at batch 64 (BENCH.md latentL).
+    model = _trained_model(False, attn_impl="auto", geo=geo,
+                           use_checkpoint=(geo == "trained_L"))
     schedule = Schedule(stable_diffusion_beta_schedule())
     params = jax.jit(model.init)(
         jax.random.PRNGKey(0),
@@ -225,16 +251,18 @@ def train_gate_model(seconds: float = 600.0, batch: int = 64):
                   f"({time.perf_counter() - t0:.0f}s)", flush=True)
         i += 1
     loss = float(loss_dev)
-    os.makedirs(os.path.dirname(_TRAINED_PARAMS), exist_ok=True)
-    with open(_TRAINED_PARAMS, "wb") as f:
+    path = _params_path(geo)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "wb") as f:
         f.write(flax.serialization.to_bytes(ema))
     print(f"trained {i} steps ({i * batch} images), final loss {loss:.4f} "
-          f"-> {_TRAINED_PARAMS}")
+          f"-> {path}")
 
 
-def _build_trained(batch, accel, interval, gelu, steps):
+def _build_trained(batch, accel, interval, gelu, steps, geo="trained"):
     """Sampling pipeline over the TRAINED gate model: same solver/CFG/decode
-    shape as the headline protocol (CFG scale 0.4, null label = 10)."""
+    shape as the headline protocol (CFG scale 0.4, null label = 10).
+    geo='trained_L' loads the flagship-scale (U-ViT-L/2) instance."""
     import flax
 
     from panopticdiffusionmodels_tpu.diffusion import (
@@ -245,14 +273,14 @@ def _build_trained(batch, accel, interval, gelu, steps):
     from panopticdiffusionmodels_tpu.models.vae import get_model as get_vae
     from panopticdiffusionmodels_tpu.samplers import DPMSolver, NoiseScheduleVP
 
-    model = _trained_model(gelu)
+    model = _trained_model(gelu, geo=geo)
     template = jax.eval_shape(
         lambda k: model.init(k, jnp.zeros((1, 32, 32, 4)), jnp.zeros((1,)),
                              jnp.zeros((1,), jnp.int32)),
         jax.random.PRNGKey(0),
     )
     template = jax.tree.map(lambda s: np.zeros(s.shape, s.dtype), template)
-    with open(_TRAINED_PARAMS, "rb") as f:
+    with open(_params_path(geo), "rb") as f:
         params = flax.serialization.from_bytes(template, f.read())
     params = jax.device_put(params)
     vae = get_vae(dtype=jnp.bfloat16)
@@ -289,9 +317,7 @@ def _build_trained(batch, accel, interval, gelu, steps):
     return pipeline, params, vae_params, cond
 
 
-_TRAINED_PANOPTIC_PARAMS = os.path.join(
-    os.environ.get("QG_DIR", "/root/repo/quality_gate"),
-    "trained_panoptic_params.msgpack")
+_TRAINED_PANOPTIC_PARAMS = _params_path("trained_panoptic")
 
 
 def _panoptic_class_assets(num_classes=10, mask=64):
@@ -509,10 +535,10 @@ def run_spec(geo, spec, out_dir, n, batch):
         assert not hold, "mask-hold specs need a panoptic geometry"
         pipeline, params, vae_params, cond = _build_imagenet(
             batch, accel, interval, gelu, steps)
-    elif geo == "trained":
+    elif geo in ("trained", "trained_L"):
         assert not hold, "mask-hold specs need a panoptic geometry"
         pipeline, params, vae_params, cond = _build_trained(
-            batch, accel, interval, gelu, steps)
+            batch, accel, interval, gelu, steps, geo)
     elif geo == "trained_panoptic":
         pipeline, params, vae_params, cond = _build_trained_panoptic(
             batch, accel, interval, gelu, steps, hold)
@@ -568,6 +594,22 @@ def run_spec(geo, spec, out_dir, n, batch):
 
 def _ladder(ratio):
     return "PASS" if ratio <= 2.0 else ("MARGINAL" if ratio <= 5.0 else "FAIL")
+
+
+# Control-normalized ladder for the mask-TV channel (round-3 finding: floor
+# ratios are trained-instance-dependent — a sharper instance rated even the
+# 25-NFE positive control MARGINAL vs its own seed floor — while ratios to
+# the SAME instance's 25-NFE control are stable: accel=0.2 sat at 1.5-2.0x
+# the control across instances, cfg_interval at ~3x+).  Thresholds set from
+# the round-4 three-instance calibration (BENCH.md "Gate calibration").
+TV_CTRL_PASS = 2.0
+TV_CTRL_MARGINAL = 3.0
+CONTROL_SPEC = "steps=25"
+
+
+def _ladder_ctrl(ratio):
+    return ("PASS" if ratio <= TV_CTRL_PASS
+            else ("MARGINAL" if ratio <= TV_CTRL_MARGINAL else "FAIL"))
 
 
 def report(geo, out_dir):
@@ -635,8 +677,17 @@ def report(geo, out_dir):
           f"FD {fd_floor:.4f} (bias-dominated at N<D, recorded only)"
           + (f"   KID null scale {kid_floor:.3e}" if kid_floor is not None else "")
           + (f"   mask TV {tv_floor:.5f}" if tv_floor is not None else ""))
-    results = {"geo": geo, "n": n, "fd_floor": fd_floor,
-               "kid_floor": kid_floor, "tv_floor": tv_floor, "modes": {}}
+    # Mask-TV control normalization: the 25-NFE positive control's own TV vs
+    # exactA is the per-instance yardstick (stable across trained instances
+    # where the raw floor ratio is not — see _ladder_ctrl).
+    tv_ctrl = None
+    if CONTROL_SPEC in modes:
+        tv_ctrl = tv(ref, modes[CONTROL_SPEC])
+    results = {"geo": geo, "n": n, "instance": _INSTANCE or "default",
+               "fd_floor": fd_floor, "kid_floor": kid_floor,
+               "tv_floor": tv_floor, "tv_control_25nfe": tv_ctrl,
+               "tv_ctrl_thresholds": [TV_CTRL_PASS, TV_CTRL_MARGINAL],
+               "modes": {}}
     for name, run in sorted(modes.items()):
         d = fd(ref, run)
         fd_ratio = d / max(fd_floor, 1e-12)
@@ -655,8 +706,17 @@ def report(geo, out_dir):
         entry["mask_tv"] = m
         if m is not None and tv_floor is not None:
             mr = m / max(tv_floor, 1e-12)
-            mv = _ladder(mr)
-            line += f"   mask TV={m:.5f} ({mr:5.2f}x floor) {mv}"
+            entry["mask_tv_floor_ratio"] = mr
+            if tv_ctrl and name != CONTROL_SPEC:
+                # verdict keyed to the control-normalized ratio
+                cr = m / max(tv_ctrl, 1e-12)
+                mv = _ladder_ctrl(cr)
+                entry["mask_tv_ctrl_ratio"] = cr
+                line += (f"   mask TV={m:.5f} ({mr:5.2f}x floor, "
+                         f"{cr:5.2f}x 25-NFE ctrl) {mv}")
+            else:  # no control run (or this IS the control): floor ladder
+                mv = _ladder(mr)
+                line += f"   mask TV={m:.5f} ({mr:5.2f}x floor) {mv}"
             verdict = verdict if verdict == "FAIL" or mv == "PASS" else mv
         print(line)
         entry["verdict"] = verdict
@@ -670,9 +730,10 @@ def report(geo, out_dir):
 def main():
     geo = _geo()
     assert geo in ("imagenet", "panoptic", "panoptic_large", "trained",
-                   "trained_panoptic"), geo
+                   "trained_L", "trained_panoptic"), geo
+    suffix = f"_{_INSTANCE}" if _INSTANCE else ""
     out_dir = os.path.join(
-        os.environ.get("QG_DIR", "/root/repo/quality_gate"), geo)
+        os.environ.get("QG_DIR", "/root/repo/quality_gate"), geo + suffix)
     n = int(os.environ.get("QG_N", "1024"))
     batch = int(os.environ.get("QG_BATCH", "32"))
     for spec in sys.argv[2:]:
@@ -683,7 +744,7 @@ def main():
             if geo == "trained_panoptic":
                 train_gate_panoptic(float(secs) if secs else 900.0, batch)
             else:
-                train_gate_model(float(secs) if secs else 600.0)
+                train_gate_model(float(secs) if secs else 600.0, geo=geo)
         else:
             run_spec(geo, spec, out_dir, n, batch)
 
