@@ -74,17 +74,28 @@ def build_components():
     return model, params, vae, vae_params, schedule, ns
 
 
-def build_pipeline(batch_size: int, components=None):
+def build_pipeline(batch_size: int, components=None, accel=None,
+                   cfg_interval=None, gelu=None):
     from panopticdiffusionmodels_tpu.diffusion.cfg import make_cfg_class_cond
     from panopticdiffusionmodels_tpu.samplers import DPMSolver
 
     model, params, vae, vae_params, schedule, ns = components or build_components()
 
-    # Opt-in speed modes (the headline protocol keeps both off):
+    # Opt-in speed modes (the headline protocol keeps all three off):
     #   BENCH_ACCEL=<tau>            forecast-skip threshold
     #   BENCH_CFG_INTERVAL=lo,hi     guidance interval in t (arXiv:2404.07724)
-    ci_env = os.environ.get("BENCH_CFG_INTERVAL", "")
-    cfg_interval = tuple(float(v) for v in ci_env.split(",")) if ci_env else None
+    #   BENCH_GELU=tanh              tanh GELU (via build_components)
+    # or explicit args (the recommended-mode second run below).
+    if cfg_interval is None:
+        ci_env = os.environ.get("BENCH_CFG_INTERVAL", "")
+        cfg_interval = (
+            tuple(float(v) for v in ci_env.split(",")) if ci_env else None
+        )
+    if accel is None:
+        accel = float(os.environ.get("BENCH_ACCEL", "0"))
+    if gelu is not None and gelu != model.gelu_approx:
+        # params are layout-identical across the gelu flag; clone the model
+        model = model.clone(gelu_approx=gelu)
 
     @jax.jit
     def pipeline(params, vae_params, key, y):
@@ -96,7 +107,7 @@ def build_pipeline(batch_size: int, components=None):
             lambda xx, tt, mask_token=None, cfg_on=True: cfg_fn(
                 xx, tt * schedule.N, y, cfg_on=cfg_on),
             ns, predict_x0=True,
-            accel_tau=float(os.environ.get("BENCH_ACCEL", "0")),
+            accel_tau=accel,
             cfg_interval=cfg_interval,
         )
         z = jax.random.normal(key, (batch_size, 32, 32, 4))
@@ -113,10 +124,7 @@ def build_pipeline(batch_size: int, components=None):
     return pipeline, params, vae_params
 
 
-def main():
-    batch_size = int(os.environ.get("BENCH_BATCH", "32"))
-    reps = int(os.environ.get("BENCH_REPS", "3"))
-    pipeline, params, vae_params = build_pipeline(batch_size)
+def _time_pipeline(pipeline, params, vae_params, batch_size, reps):
     key = jax.random.PRNGKey(42)
     y = jnp.zeros((batch_size,), jnp.int32)
 
@@ -127,25 +135,50 @@ def main():
         return float(jnp.sum(img[:, ::64, ::64, :]))
 
     run(key)
-
     times = []
     for i in range(reps):
         k = jax.random.fold_in(key, i)
         t0 = time.perf_counter()
         run(k)
         times.append(time.perf_counter() - t0)
-    best = min(times)
-    imgs_per_sec = batch_size / best
-    print(
-        json.dumps(
-            {
-                "metric": "imagenet256_uvitL_50step_dpmpp_cfg_images_per_sec_per_chip",
-                "value": round(imgs_per_sec, 3),
-                "unit": "images/sec",
-                "vs_baseline": round(imgs_per_sec / A100_BASELINE_EST, 3),
-            }
+    return batch_size / min(times)
+
+
+def main():
+    batch_size = int(os.environ.get("BENCH_BATCH", "32"))
+    reps = int(os.environ.get("BENCH_REPS", "3"))
+    components = build_components()
+    pipeline, params, vae_params = build_pipeline(batch_size, components)
+    imgs_per_sec = _time_pipeline(pipeline, params, vae_params, batch_size,
+                                  reps)
+    record = {
+        "metric": "imagenet256_uvitL_50step_dpmpp_cfg_images_per_sec_per_chip",
+        "value": round(imgs_per_sec, 3),
+        "unit": "images/sec",
+        "vs_baseline": round(imgs_per_sec / A100_BASELINE_EST, 3),
+    }
+
+    # The recommended gate-PASSED speed mode for this (image-only flagship)
+    # geometry: tanh GELU + forecast-skip tau=0.2 + guidance interval
+    # (0.0, 0.5).  Certification: distribution-level quality gate at the SAME
+    # U-ViT-L/2 geometry on weights TRAINED on chip, with armed NFE
+    # dose-response controls (quality_gate/trained_L/report.json; BENCH.md
+    # round 4).  Exact protocol stays the headline "value"; this records the
+    # certified accelerated operating point alongside it.
+    if os.environ.get("BENCH_RECOMMENDED", "on") != "off":
+        rec_pipeline, _, _ = build_pipeline(
+            batch_size, components, accel=0.2, cfg_interval=(0.0, 0.5),
+            gelu=True,
         )
-    )
+        rec = _time_pipeline(rec_pipeline, params, vae_params, batch_size,
+                             reps)
+        record.update(
+            recommended_mode="gelu_approx+accel0.2+cfg_interval(0.0,0.5)",
+            recommended_value=round(rec, 3),
+            recommended_vs_baseline=round(rec / A100_BASELINE_EST, 3),
+            recommended_certification="quality_gate/trained_L/report.json",
+        )
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

@@ -29,6 +29,23 @@ def _save_png(arr01: np.ndarray, path: str):
     Image.fromarray(arr).save(path)
 
 
+def _fetch(x) -> np.ndarray:
+    """Device -> host, multi-host safe.
+
+    Under multi-process launch the sampler's outputs are GLOBAL jax.Arrays
+    whose shards live on other hosts' devices; `np.asarray` on those raises.
+    This is the reference's explicit `accelerator.gather` of samples +
+    pred_mask + loss_mask before rank-0 writes (reference `utils.py:585-588`)
+    — an all-gather so every process holds the full batch, then process 0
+    alone writes/scores.  Single-process arrays take the plain fast path.
+    """
+    if isinstance(x, jax.Array) and not x.is_fully_addressable:
+        from jax.experimental import multihost_utils
+
+        return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+    return np.asarray(x)
+
+
 def make_grid(images01: np.ndarray, ncol: int = 8, pad: int = 2) -> np.ndarray:
     """Tile [0,1] NHWC images into one grid image (the reference's
     torchvision.make_grid role, `train.py:167`)."""
@@ -86,18 +103,21 @@ def sample2dir(
     def process(out, _batch_size):
         if use_panoptic:
             sample_idx, samples, pred_mask, loss_mask, panoptic = out
-            lm = float(np.mean(np.asarray(loss_mask)))
+            lm = float(np.mean(_fetch(loss_mask)))
             if np.isfinite(lm):  # NaN marks "no ground truth for this batch"
                 loss_mask_all.append(lm)
         else:
             sample_idx, samples = out
-        samples = np.asarray(samples)[:_batch_size]
+        samples = _fetch(samples)[:_batch_size]
         if unpreprocess_fn is not None:
             samples = unpreprocess_fn(samples)
+        if use_panoptic:
+            # gathered on EVERY process (collective) before the rank gate
+            pred_mask = _fetch(pred_mask)
         if not is_main:
             return  # idx feeds only the rank-0 filename scheme below
         if use_panoptic:
-            ids = np.asarray(bits2int(np.asarray(pred_mask) > 0, n=mask_bits))
+            ids = np.asarray(bits2int(pred_mask > 0, n=mask_bits))
             if panoptic is not None:
                 cnt_diff_all.append(eval_mask_cnt(ids, np.asarray(panoptic)))
             colors = color_map(ids, colormap)

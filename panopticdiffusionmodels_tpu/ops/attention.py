@@ -128,6 +128,19 @@ def attention_qkv(qkv, heads: int, *, scale: Optional[float] = None,
             token_sharding.mesh, qkv.shape[0], qkv.shape[1]
         ):
             return ring_attention_qkv(qkv, heads, scale, token_sharding)
+        # Loud fallback (round-3 verdict: silent XLA fallback hid a capped
+        # sp).  Batch-1 init/shape-probe traces are expected and stay quiet.
+        if qkv.shape[0] > 1:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "attention_qkv: impl='ring' requested but unsupported for "
+                "batch=%d, L=%d on mesh %s — falling back to XLA attention "
+                "(the partitioner will all-gather K/V over 'sp')",
+                qkv.shape[0], qkv.shape[1],
+                None if token_sharding is None
+                else dict(token_sharding.mesh.shape),
+            )
         impl = "xla"
     on_tpu = jax.default_backend() == "tpu"
     # The kernel holds one (L, 3C) slice + an f32 score block in VMEM (whole

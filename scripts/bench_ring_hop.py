@@ -1,0 +1,123 @@
+#!/usr/bin/env python
+"""On-chip A/B: ring attention's per-hop local math — Pallas hop kernel vs
+plain XLA einsums — at the 512-res panoptic LOCAL shapes the sp axis exists
+for (L=2126 dual stream; sp=2 -> lq=lk=1063 per device).
+
+A multi-device sp mesh cannot be built in this 1-chip image, so this measures
+the per-device compute+memory of a full sp-hop sequence (the part the kernel
+changes) with the ppermute replaced by a token roll (keeps the hop inputs
+data-dependent so XLA cannot CSE the hops away; the real ppermute is ICI
+traffic XLA overlaps with compute either way — identical for both variants).
+Parity between the two variants is asserted on the same inputs.
+
+Also reports each variant's compiled peak-memory analysis: the point of the
+kernel is confining the f32 (L/sp, L/sp) score blocks to VMEM instead of
+XLA buffer space (VERDICT round 3, weak #4).
+
+Run: python scripts/bench_ring_hop.py   (one TPU process at a time)
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("JAX_CACHE_DIR", "/root/.jax_cache"))
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+import jax.numpy as jnp
+import numpy as np
+
+from panopticdiffusionmodels_tpu.ops.ring_attention import (
+    _hop_pallas,
+    _hop_xla,
+)
+
+
+def make_ring_local(heads, scale, sp, use_kernel, depth):
+    """Emulated per-device ring attention over `sp` hops, repeated `depth`
+    times (a scan, like the model's block stack) so the tunnel's ~28 ms
+    dispatch floor amortizes and timing reflects on-device work."""
+    hop_fn = _hop_pallas if use_kernel else _hop_xla
+
+    def attn(qkv):
+        b, lq, c3 = qkv.shape
+        c = c3 // 3
+        d = c // heads
+        q, kv = qkv[..., :c], qkv[..., c:]
+        o_hop, m, den = hop_fn(q, kv, heads, scale, jnp.int32(lq))
+        o = o_hop.astype(jnp.float32).reshape(b, lq, heads, d)
+        for hop in range(1, sp):
+            kv = jnp.roll(kv, 7 * hop, axis=1)  # stand-in for the ppermute
+            o_hop, m_hop, den_hop = hop_fn(q, kv, heads, scale,
+                                           jnp.int32(lq))
+            m_new = jnp.maximum(m, m_hop)
+            corr, corr_hop = jnp.exp(m - m_new), jnp.exp(m_hop - m_new)
+            den = den * corr + den_hop * corr_hop
+            o = (o * corr
+                 + o_hop.astype(jnp.float32).reshape(b, lq, heads, d)
+                 * corr_hop)
+            m = m_new
+        return (o / den).astype(qkv.dtype).reshape(b, lq, c)
+
+    @jax.jit
+    def fn(qkv):
+        def body(x, _):
+            # residual-style carry (keeps layers data-dependent); the (b, lq,
+            # C) attention output is tiled back to the packed 3C carry shape
+            o = attn(x)
+            return x + jnp.concatenate([o, o, o], axis=-1), ()
+
+        out, _ = jax.lax.scan(body, qkv, None, length=depth)
+        return out
+
+    return fn
+
+
+def main():
+    b = int(os.environ.get("RING_BATCH", "8"))
+    lq = int(os.environ.get("RING_LQ", "1063"))
+    heads, d, sp, depth = 8, 64, 2, int(os.environ.get("RING_DEPTH", "13"))
+    c = heads * d
+    scale = d ** -0.5
+    qkv = (jax.random.normal(jax.random.PRNGKey(0), (b, lq, 3 * c)) * 0.5
+           ).astype(jnp.bfloat16)
+
+    results = {}
+    for use_kernel in (False, True):
+        name = "pallas_hop" if use_kernel else "xla_hop"
+        fn = make_ring_local(heads, scale, sp, use_kernel, depth)
+        lowered = fn.lower(qkv)
+        compiled = lowered.compile()
+        mem = compiled.memory_analysis()
+        out = fn(qkv)
+        float(jnp.sum(out[:1, :1, :1]))  # serialize (tunnel)
+        times = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            out = fn(qkv)
+            float(jnp.sum(out[:1, :1, :1]))
+            times.append(time.perf_counter() - t0)
+        results[name] = dict(
+            best_ms=min(times) * 1e3,
+            temp_mb=getattr(mem, "temp_size_in_bytes", 0) / 1e6,
+            out=np.asarray(out, np.float32),
+        )
+        print(f"{name}: best {min(times)*1e3:.1f} ms over {depth} layers x "
+              f"{sp} hops (B{b} Lq{lq}); XLA temp buffers "
+              f"{results[name]['temp_mb']:.0f} MB", flush=True)
+
+    a, k = results["xla_hop"], results["pallas_hop"]
+    dev = np.linalg.norm(k["out"] - a["out"]) / np.linalg.norm(a["out"])
+    print(f"parity: rel dev {dev:.2e}")
+    print(f"speedup: {a['best_ms'] / k['best_ms']:.2f}x; temp-memory "
+          f"{a['temp_mb']:.0f} -> {k['temp_mb']:.0f} MB")
+    assert dev < 5e-3, dev
+
+
+if __name__ == "__main__":
+    main()

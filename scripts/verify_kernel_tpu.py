@@ -145,6 +145,66 @@ def main():
     )
     print(f"pipelined apply (pallas in shard_map) vs plain: rel dev {pdev:.2e}")
     assert pdev < 1e-3, pdev
+
+    # 6. remat policies over the Pallas custom-VJP attention: the full UViT
+    # train-path gradient under use_checkpoint with each shipped
+    # remat_policy (incl. 'save_attn' = save_only_these_names over the
+    # kernel's named output) must match the no-remat gradient ON CHIP —
+    # jax.checkpoint policies interact with custom_vjp at lowering time, so
+    # the CPU-mesh test (which runs XLA attention) does not cover this.
+    base = dict(img_size=32, patch_size=2, in_chans=4, embed_dim=512,
+                depth=4, num_heads=8, num_classes=11, dtype=jnp.bfloat16,
+                scan_blocks=True, attn_impl="auto")
+    xb = jax.random.normal(jax.random.PRNGKey(3), (8, 32, 32, 4))
+    tb = jnp.full((8,), 500.0)
+    yb = jnp.zeros((8,), jnp.int32)
+    m0 = UViT(use_checkpoint=False, **base)
+    params = jax.jit(m0.init)(jax.random.PRNGKey(4), xb[:1], tb[:1], yb[:1])
+
+    def train_loss(p, model):
+        return jnp.mean(model.apply(p, xb, tb, yb).astype(jnp.float32) ** 2)
+
+    g0 = jax.jit(jax.grad(lambda p: train_loss(p, m0)))(params)
+    for policy in (None, "save_attn", "dots_no_batch"):
+        m1 = UViT(use_checkpoint=True, remat_policy=policy, **base)
+        g1 = jax.jit(jax.grad(lambda p: train_loss(p, m1)))(params)
+        gdev = max(
+            rel(a, b2)
+            for a, b2 in zip(jax.tree.leaves(g0), jax.tree.leaves(g1))
+        )
+        print(f"remat_policy={policy!r} grad vs no-remat: rel dev {gdev:.2e}")
+        assert gdev < 5e-3, (policy, gdev)
+
+    # 7. ring-hop kernel (ops/pallas/ring_hop.py — the sp path's per-hop
+    # local math): compiled kernel vs the XLA hop expression at the 512-res
+    # panoptic LOCAL shapes (L=2126, sp=2 -> lq=lk=1063, head group g=2),
+    # with and without masked (padded) trailing K/V columns.  The ring's
+    # cross-hop combine is pure XLA and is covered on the CPU mesh; this is
+    # the on-chip evidence for the kernel itself.
+    from panopticdiffusionmodels_tpu.ops.pallas.ring_hop import attention_hop
+    from panopticdiffusionmodels_tpu.ops.ring_attention import _hop_xla, _stats
+
+    heads, d = 8, 64
+    c = heads * d
+    for (lq, lk, nvalid) in [(1063, 1063, 1063), (1064, 1064, 1000),
+                             (258, 258, 258)]:
+        q = (jax.random.normal(jax.random.PRNGKey(5), (2, lq, c)) * 0.5
+             ).astype(jnp.bfloat16)
+        kv = (jax.random.normal(jax.random.PRNGKey(6), (2, lk, 2 * c)) * 0.5
+              ).astype(jnp.bfloat16)
+        o_k, m_k, den_k = jax.jit(
+            lambda q, kv: attention_hop(q, kv, heads, d ** -0.5,
+                                        jnp.int32(nvalid))
+        )(q, kv)
+        o_x, m_x, den_x = jax.jit(
+            lambda q, kv: _hop_xla(q, kv, heads, d ** -0.5, nvalid)
+        )(q, kv)
+        rs = (rel(o_k, o_x), rel(_stats(np.asarray(m_k), heads), m_x),
+              rel(_stats(np.asarray(den_k), heads), den_x))
+        print(f"ring hop Lq{lq} Lk{lk} nvalid{nvalid}: "
+              f"o/m/den rel dev {rs[0]:.2e}/{rs[1]:.2e}/{rs[2]:.2e}")
+        assert max(rs) < 5e-3, (lq, lk, nvalid, rs)
+
     print("kernel verification OK")
 
 

@@ -26,6 +26,43 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 4)
 
 
+def run_eval(config, workdir, out_path, process_id):
+    import numpy as np
+
+    from panopticdiffusionmodels_tpu.evaluation.fid import dir_statistics
+    from panopticdiffusionmodels_tpu.evaluation.inception import (
+        make_extractor,
+        random_params,
+    )
+    from panopticdiffusionmodels_tpu.evaluation.runner import (
+        make_eval_sample_fn,
+    )
+    from panopticdiffusionmodels_tpu.evaluation.sampler_io import sample2dir
+    from panopticdiffusionmodels_tpu.train.trainer import Trainer
+
+    trainer = Trainer(config, workdir)
+    sample_dir = os.path.join(os.path.dirname(out_path), "samples")
+    mask_dir = os.path.join(os.path.dirname(out_path), "mask")
+    sample_fn, use_panoptic = make_eval_sample_fn(
+        trainer, sample_steps=5, batch_size=8
+    )
+    metrics = sample2dir(
+        sample_dir, 16, 8, sample_fn,
+        unpreprocess_fn=trainer.dataset.unpreprocess,
+        use_panoptic=use_panoptic, mask_path=mask_dir,
+        mask_bits=config.nnet.get("mask_bits", 8),
+    )
+    if process_id == 0:
+        mu, sigma = dir_statistics(
+            sample_dir, make_extractor(random_params(0)), batch_size=8
+        )
+        np.savez(out_path, mu=mu, sigma=sigma,
+                 names=sorted(os.listdir(sample_dir)),
+                 mask_names=sorted(os.listdir(mask_dir)),
+                 eval_loss_mask=metrics.get("eval_loss_mask", np.nan))
+    print(f"eval child {process_id} done: {metrics}", flush=True)
+
+
 def main():
     process_id = int(sys.argv[1])
     port = sys.argv[2]
@@ -43,6 +80,15 @@ def main():
     from panopticdiffusionmodels_tpu.train.trainer import Trainer
 
     config = get_config("synthetic_tiny")
+    if mesh_kind == "eval":
+        # Multi-host EVALUATION: sample2dir -> dir_statistics with the
+        # sampler's global arrays gathered across processes before rank-0
+        # writes (the reference capability: accelerator.gather at
+        # utils.py:585-588 feeding rank-0 PNG writes + FID).  The parent
+        # compares the file set and (mu, sigma) against a single-process run.
+        config.mesh.dp, config.mesh.fsdp, config.mesh.tp = 2, 2, 2
+        run_eval(config, workdir, out_path, process_id)
+        return
     if mesh_kind == "pp":
         # One pipeline stage per process ('pp' is the outermost mesh axis, so
         # the host boundary falls between stages): the tick ppermutes cross

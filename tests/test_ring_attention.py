@@ -73,29 +73,87 @@ def test_bf16_forward_close():
                                rtol=2e-2, atol=2e-2)
 
 
+@pytest.mark.parametrize("l,sp", [(18, 4), (21, 4), (10, 8)])
+def test_forward_padded_tokens(l, sp):
+    """L % sp != 0 runs on the ring via padding + masked K/V columns instead
+    of silently falling back to XLA (round-3 verdict weak #6: L=2126 capped
+    sp at 2).  Padded-column masking must be exact, not approximate."""
+    mesh = make_mesh(dp=1, sp=sp)
+    ts = token_sharding(mesh)
+    qkv = _qkv(b=2, l=l, seed=3)
+    heads, scale = 4, (32 // 4) ** -0.5
+    assert ring_supported(mesh, 2, l)
+    ref = _xla_attention_qkv(qkv, heads, scale)
+    out = jax.jit(lambda t: ring_attention_qkv(t, heads, scale, ts))(qkv)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_grad_padded_tokens():
+    mesh = make_mesh(dp=1, sp=4)
+    ts = token_sharding(mesh)
+    qkv = _qkv(b=2, l=18, seed=4)
+    heads, scale = 4, (32 // 4) ** -0.5
+    g_ring = jax.jit(jax.grad(
+        lambda t: jnp.sum(ring_attention_qkv(t, heads, scale, ts) ** 2)
+    ))(qkv)
+    g_ref = jax.jit(jax.grad(
+        lambda t: jnp.sum(_xla_attention_qkv(t, heads, scale) ** 2)
+    ))(qkv)
+    np.testing.assert_allclose(np.asarray(g_ring), np.asarray(g_ref),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_hop_kernel_matches_xla_hop():
+    """The Pallas hop kernel (interpret mode off-TPU) == the XLA hop math:
+    unnormalized o and the per-head (m, den) stats, with and without padded
+    (masked) K/V columns.  Uses a lane-aligned head group (d=64, g=2)."""
+    from panopticdiffusionmodels_tpu.ops.pallas.ring_hop import attention_hop
+    from panopticdiffusionmodels_tpu.ops.ring_attention import (
+        _hop_xla,
+        _stats,
+    )
+
+    rng = np.random.default_rng(5)
+    b, lq, lk, heads, d = 2, 8, 16, 4, 64
+    c = heads * d
+    q = jnp.asarray(rng.normal(size=(b, lq, c)), jnp.float32)
+    kv = jnp.asarray(rng.normal(size=(b, lk, 2 * c)), jnp.float32)
+    scale = d ** -0.5
+    for nvalid in (lk, lk - 3):
+        o_k, m_k, den_k = attention_hop(q, kv, heads, scale, nvalid,
+                                        interpret=True)
+        o_x, m_x, den_x = _hop_xla(q, kv, heads, scale, nvalid)
+        np.testing.assert_allclose(np.asarray(_stats(m_k, heads)),
+                                   np.asarray(m_x), rtol=1e-6, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(_stats(den_k, heads)),
+                                   np.asarray(den_x), rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(o_k), np.asarray(o_x),
+                                   rtol=1e-5, atol=1e-5)
+
+
 def test_dispatch_fallbacks():
     """impl='ring' must degrade to XLA (not crash) whenever the shape cannot
-    tile the mesh: batch-1 init traces, token counts not divisible by sp,
-    tp>1 meshes, and the no-mesh (token_sharding=None) case."""
+    tile the mesh: batch-1 init traces, batches not divisible by the data
+    axes, tp>1 meshes, and the no-mesh (token_sharding=None) case.  Token
+    counts not divisible by sp are PADDED, not rejected (see
+    test_forward_padded_tokens)."""
     heads, scale = 4, (32 // 4) ** -0.5
     ref1 = _xla_attention_qkv(_qkv(b=1, l=16), heads, scale)
-    ref2 = _xla_attention_qkv(_qkv(b=4, l=18), heads, scale)
 
     mesh = make_mesh(dp=2, sp=4)
     ts = token_sharding(mesh)
     assert not ring_supported(mesh, 1, 16)       # batch-1 trace
-    assert not ring_supported(mesh, 4, 18)       # L % sp != 0
+    assert ring_supported(mesh, 4, 18)           # L % sp != 0: padded path
+    assert not ring_supported(mesh, 4, 3)        # fewer tokens than the ring
     assert not ring_supported(make_mesh(dp=4, sp=1, tp=2), 4, 16)  # tp > 1
     assert not ring_supported(make_mesh(dp=8), 4, 16)              # sp == 1
 
     out1 = attention_qkv(_qkv(b=1, l=16), heads, scale=scale, impl="ring",
                          token_sharding=ts)
-    out2 = attention_qkv(_qkv(b=4, l=18), heads, scale=scale, impl="ring",
-                         token_sharding=ts)
     out3 = attention_qkv(_qkv(b=1, l=16), heads, scale=scale, impl="ring",
                          token_sharding=None)
     np.testing.assert_allclose(np.asarray(out1), np.asarray(ref1), rtol=1e-6)
-    np.testing.assert_allclose(np.asarray(out2), np.asarray(ref2), rtol=1e-6)
     np.testing.assert_allclose(np.asarray(out3), np.asarray(ref1), rtol=1e-6)
 
 
