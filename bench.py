@@ -19,6 +19,11 @@ throughput for the same protocol.  The reference publishes no speed numbers
 here: U-ViT-L/2 is ~287M params, ~159 GFLOPs/forward at 258 tokens; 100 forwards
 + VAE decode is ~17.4 TFLOPs/image; PyTorch eager fp16 sampling on A100 (312
 TFLOP/s peak) at a typical 20-30%% MFU gives ~4 img/s.  A100_BASELINE_EST = 4.0.
+Error bars (round 4, scripts/bracket_a100_baseline.py + BASELINE.md): the
+FLOP numerator is validated by XLA cost analysis (154.6 GF/fwd) and a CPU
+measurement of the reference's own network bounds eager efficiency from
+above; the bracket is A100 in [3.2, 7.2] img/s, so multiply vs_baseline by
+[0.56, 1.24] for the bounds.
 
 Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """

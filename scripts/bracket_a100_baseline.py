@@ -134,9 +134,11 @@ def xla_flop_count():
 
     from panopticdiffusionmodels_tpu.models import UViT
 
+    # scan_blocks=False: XLA's cost analysis counts a scan body ONCE, not
+    # trip-count times — the unrolled graph gives the true per-forward count.
     model = UViT(img_size=32, patch_size=2, in_chans=4, embed_dim=1024,
                  depth=20, num_heads=16, num_classes=1001,
-                 dtype=jnp.float32, scan_blocks=True, attn_impl="xla")
+                 dtype=jnp.float32, scan_blocks=False, attn_impl="xla")
     x = jnp.zeros((1, 32, 32, 4))
     t = jnp.zeros((1,))
     y = jnp.zeros((1,), jnp.int32)

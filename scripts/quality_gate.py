@@ -137,6 +137,15 @@ def _build_panoptic(batch, accel, interval, gelu, large, hold=False):
 _INSTANCE = os.environ.get("QG_INSTANCE", "")
 
 
+def _instance_seed() -> int:
+    """Stable per-instance seed offset: independent instances must differ in
+    init, data order AND noise draws (a deterministic re-train would produce
+    the same model up to wall-clock step count)."""
+    import zlib
+
+    return zlib.crc32(_INSTANCE.encode()) % 100000 if _INSTANCE else 0
+
+
 def _params_path(geo):
     suffix = f"_{_INSTANCE}" if _INSTANCE else ""
     return os.path.join(os.environ.get("QG_DIR", "/root/repo/quality_gate"),
@@ -214,8 +223,9 @@ def train_gate_model(seconds: float = 600.0, batch: int = 64, geo="trained"):
     model = _trained_model(False, attn_impl="auto", geo=geo,
                            use_checkpoint=(geo == "trained_L"))
     schedule = Schedule(stable_diffusion_beta_schedule())
+    iseed = _instance_seed()
     params = jax.jit(model.init)(
-        jax.random.PRNGKey(0),
+        jax.random.PRNGKey(iseed),
         jnp.zeros((1, 32, 32, 4)), jnp.zeros((1,)), jnp.zeros((1,), jnp.int32),
     )
     tx = optax.adamw(2e-4, weight_decay=0.03)
