@@ -316,7 +316,12 @@ def _build_trained(batch, accel, interval, gelu, steps, geo="trained"):
         z0 = solver.sample(z, steps=steps, eps=1.0 / 1000, T=1.0, order=3,
                            method="fast")
         img = vae.apply(vae_params, z0, method="decode")
-        return img, None
+        # z0 feeds the LATENT pattern-match channel (the image-only analog of
+        # the panoptic mask-TV channel): the trained distribution's structure
+        # lives in latent space, where detection power is (round-4 finding:
+        # the random-weight Inception FD/KID channels pass even a 3-NFE
+        # control on paired seeds at N=1024 — an unarmed gate).
+        return img, None, z0
 
     def cond(i):  # class labels: fixed per batch index, shared by all runs
         return jnp.asarray(
@@ -325,6 +330,30 @@ def _build_trained(batch, accel, interval, gelu, steps, geo="trained"):
         )
 
     return pipeline, params, vae_params, cond
+
+
+# Latent pattern-match channel binning: per-sample max correlation against
+# the 10 class patterns, histogrammed over [0, 1].
+Q_BINS = 32
+
+
+def _latent_stats(z0, patterns):
+    """(class_hist (10,), q_hist (Q_BINS,)) of a latent batch: which class
+    pattern each sample matches best, and how well (normalized correlation).
+    NFE starvation / trajectory drift moves q before the eye sees it; class
+    flips measure conditioning fidelity."""
+    z = np.asarray(z0, np.float32).reshape(z0.shape[0], -1)
+    z = z - z.mean(axis=1, keepdims=True)
+    z /= np.linalg.norm(z, axis=1, keepdims=True) + 1e-9
+    p = patterns.reshape(patterns.shape[0], -1).astype(np.float32)
+    p = p - p.mean(axis=1, keepdims=True)
+    p /= np.linalg.norm(p, axis=1, keepdims=True) + 1e-9
+    corr = z @ p.T  # (B, n_classes)
+    cls = corr.argmax(axis=1)
+    q = np.clip(corr.max(axis=1), 0.0, 1.0 - 1e-9)
+    class_hist = np.bincount(cls, minlength=patterns.shape[0])
+    q_hist = np.bincount((q * Q_BINS).astype(np.int64), minlength=Q_BINS)
+    return class_hist.astype(np.int64), q_hist.astype(np.int64)
 
 
 _TRAINED_PANOPTIC_PARAMS = _params_path("trained_panoptic")
@@ -568,12 +597,22 @@ def run_spec(geo, spec, out_dir, n, batch):
               f"running {n - n % batch} samples (the recorded n matches)")
         n -= n % batch
     feats, mask_hist = [], np.zeros(256, np.int64)
+    latent_class = np.zeros(10, np.int64)
+    latent_q = np.zeros(Q_BINS, np.int64)
+    have_latents = False
+    patterns = _class_patterns()
     t0 = time.perf_counter()
     debug = os.environ.get("QG_DEBUG", "")
     for i in range(n // batch):
         tb = time.perf_counter()
         key = jax.random.fold_in(base_key, i)
-        img, pm = pipeline(params, vae_params, key, cond(i))
+        out = pipeline(params, vae_params, key, cond(i))
+        img, pm = out[0], out[1]
+        if len(out) > 2 and out[2] is not None:
+            ch, qh = _latent_stats(out[2], patterns)
+            latent_class += ch
+            latent_q += qh
+            have_latents = True
         # decoded images live in [-1, 1]; Inception expects [0, 1]
         img01 = jnp.clip(img * 0.5 + 0.5, 0.0, 1.0)
         feats.append(np.asarray(extractor(img01), np.float64))
@@ -597,6 +636,9 @@ def run_spec(geo, spec, out_dir, n, batch):
         # raw activations (f32, ~8 MB at N=1024): the KID channel needs them —
         # (mu, sigma) alone only supports the bias-floored FD estimator
         acts=acts.astype(np.float32),
+        # latent pattern-match channel (trained image geos; zeros elsewhere)
+        latent_class_hist=latent_class if have_latents else np.zeros(0),
+        latent_q_hist=latent_q if have_latents else np.zeros(0),
     )
     print(f"{geo}/{spec}: {n} samples in {wall:.1f}s "
           f"({n / wall:.2f} samples/s incl. feature extraction)")
@@ -665,6 +707,21 @@ def report(geo, out_dir):
         pb = b["mask_hist"] / b["mask_hist"].sum()
         return 0.5 * float(np.abs(pa - pb).sum())
 
+    def _hist_tv(ha, hb):
+        return 0.5 * float(np.abs(ha / max(ha.sum(), 1)
+                                  - hb / max(hb.sum(), 1)).sum())
+
+    def ltv(a, b):
+        """Latent pattern-match channel (trained image geos): max of the
+        class-histogram TV (conditioning fidelity) and the pattern-quality
+        histogram TV (on-manifold-ness) — the image-side analog of the sharp
+        mask-TV channel.  None when the runs carry no latent stats."""
+        for k in ("latent_class_hist", "latent_q_hist"):
+            if k not in a or k not in b or a[k].size == 0 or b[k].size == 0:
+                return None
+        return max(_hist_tv(a["latent_class_hist"], b["latent_class_hist"]),
+                   _hist_tv(a["latent_q_hist"], b["latent_q_hist"]))
+
     keys = sorted(exact)
     floor_pairs = [(keys[i], keys[j]) for i in range(len(keys))
                    for j in range(i + 1, len(keys))]
@@ -675,6 +732,9 @@ def report(geo, out_dir):
         kid_floor = float(max(abs(m) + 2.0 * s for m, s in pair_kids))
     tvs = [tv(exact[a], exact[b]) for a, b in floor_pairs]
     tv_floor = float(np.mean([t for t in tvs if t is not None])) if tvs[0] is not None else None
+    ltvs = [ltv(exact[a], exact[b]) for a, b in floor_pairs]
+    ltv_floor = (float(np.mean([t for t in ltvs if t is not None]))
+                 if ltvs and ltvs[0] is not None else None)
 
     # mode runs reuse MODE_SEED == exactA's seed, so exactA is the paired
     # reference when present; otherwise fall back to the first exact run
@@ -686,16 +746,19 @@ def report(geo, out_dir):
     print(f"seed-to-seed floors over {len(floor_pairs)} exact pairs: "
           f"FD {fd_floor:.4f} (bias-dominated at N<D, recorded only)"
           + (f"   KID null scale {kid_floor:.3e}" if kid_floor is not None else "")
-          + (f"   mask TV {tv_floor:.5f}" if tv_floor is not None else ""))
-    # Mask-TV control normalization: the 25-NFE positive control's own TV vs
+          + (f"   mask TV {tv_floor:.5f}" if tv_floor is not None else "")
+          + (f"   latent TV {ltv_floor:.5f}" if ltv_floor is not None else ""))
+    # TV control normalization: the 25-NFE positive control's own TV vs
     # exactA is the per-instance yardstick (stable across trained instances
     # where the raw floor ratio is not — see _ladder_ctrl).
     tv_ctrl = None
     if CONTROL_SPEC in modes:
         tv_ctrl = tv(ref, modes[CONTROL_SPEC])
+    ltv_ctrl = ltv(ref, modes[CONTROL_SPEC]) if CONTROL_SPEC in modes else None
     results = {"geo": geo, "n": n, "instance": _INSTANCE or "default",
                "fd_floor": fd_floor, "kid_floor": kid_floor,
                "tv_floor": tv_floor, "tv_control_25nfe": tv_ctrl,
+               "latent_tv_floor": ltv_floor, "latent_tv_control_25nfe": ltv_ctrl,
                "tv_ctrl_thresholds": [TV_CTRL_PASS, TV_CTRL_MARGINAL],
                "modes": {}}
     for name, run in sorted(modes.items()):
@@ -728,6 +791,21 @@ def report(geo, out_dir):
                 mv = _ladder(mr)
                 line += f"   mask TV={m:.5f} ({mr:5.2f}x floor) {mv}"
             verdict = verdict if verdict == "FAIL" or mv == "PASS" else mv
+        lm = ltv(ref, run)
+        entry["latent_tv"] = lm
+        if lm is not None and ltv_floor is not None:
+            lr = lm / max(ltv_floor, 1e-12)
+            entry["latent_tv_floor_ratio"] = lr
+            if ltv_ctrl and name != CONTROL_SPEC:
+                lcr = lm / max(ltv_ctrl, 1e-12)
+                lv = _ladder_ctrl(lcr)
+                entry["latent_tv_ctrl_ratio"] = lcr
+                line += (f"   latent TV={lm:.5f} ({lr:5.2f}x floor, "
+                         f"{lcr:5.2f}x 25-NFE ctrl) {lv}")
+            else:
+                lv = _ladder(lr)
+                line += f"   latent TV={lm:.5f} ({lr:5.2f}x floor) {lv}"
+            verdict = verdict if verdict == "FAIL" or lv == "PASS" else lv
         print(line)
         entry["verdict"] = verdict
         results["modes"][name] = entry
