@@ -109,9 +109,10 @@ def _hop_xla(q, kv, heads: int, scale: float, nvalid):
     return o, m.transpose(0, 2, 1, 3), den.transpose(0, 2, 1, 3)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
-def _hop_pallas(q, kv, heads: int, scale: float, nvalid=None):
-    o, m, den = attention_hop(q, kv, heads, scale, nvalid)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def _hop_pallas(q, kv, heads: int, scale: float, interpret: bool, nvalid):
+    o, m, den = attention_hop(q, kv, heads, scale, nvalid,
+                              interpret=interpret)
     return o, _stats(m, heads), _stats(den, heads)
 
 
@@ -123,11 +124,11 @@ def _stats(t, heads):
     return t[..., :g].transpose(0, 2, 1, 3).reshape(b, lq, heads, 1)
 
 
-def _hop_pallas_fwd(q, kv, heads, scale, nvalid=None):
-    return _hop_pallas(q, kv, heads, scale, nvalid), (q, kv, nvalid)
+def _hop_pallas_fwd(q, kv, heads, scale, interpret, nvalid):
+    return _hop_pallas(q, kv, heads, scale, interpret, nvalid), (q, kv, nvalid)
 
 
-def _hop_pallas_bwd(heads, scale, res, cots):
+def _hop_pallas_bwd(heads, scale, interpret, res, cots):
     # Flash-style recompute: re-differentiate the XLA hop expression (scores
     # rebuilt in XLA's fusion scope for the backward only).  m/den receive
     # real cotangents from the cross-hop combine.
@@ -153,7 +154,10 @@ def _ring_body(qkv, heads: int, scale: float, sp: int, l_true: int,
     q = qkv[..., :c]
     kv = qkv[..., c:]
     idx = jax.lax.axis_index("sp")
-    hop_fn = _hop_pallas if use_kernel else _hop_xla
+    if use_kernel:
+        hop_fn = lambda q, kv, h, s, nv: _hop_pallas(q, kv, h, s, False, nv)
+    else:
+        hop_fn = _hop_xla
 
     def hop_partials(kv, hop):
         # After `hop` rotations along perm (i -> i+1), device i holds the

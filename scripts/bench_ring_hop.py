@@ -42,7 +42,10 @@ def make_ring_local(heads, scale, sp, use_kernel, depth):
     """Emulated per-device ring attention over `sp` hops, repeated `depth`
     times (a scan, like the model's block stack) so the tunnel's ~28 ms
     dispatch floor amortizes and timing reflects on-device work."""
-    hop_fn = _hop_pallas if use_kernel else _hop_xla
+    if use_kernel:
+        hop_fn = lambda q, kv, h, s, nv: _hop_pallas(q, kv, h, s, False, nv)
+    else:
+        hop_fn = _hop_xla
 
     def attn(qkv):
         b, lq, c3 = qkv.shape

@@ -132,6 +132,45 @@ def test_hop_kernel_matches_xla_hop():
                                    rtol=1e-5, atol=1e-5)
 
 
+def test_hop_kernel_vjp_matches_xla_hop():
+    """Grad through the kernel hop's custom VJP (interpret mode; on TPU the
+    sp trainer differentiates this path) == grad through the XLA hop, for
+    every output (o AND the m/den stats receive real cotangents from the
+    cross-hop combine), with and without masked padding columns."""
+    from panopticdiffusionmodels_tpu.ops.ring_attention import (
+        _hop_pallas,
+        _hop_xla,
+    )
+
+    rng = np.random.default_rng(6)
+    b, lq, lk, heads, d = 2, 8, 16, 4, 64
+    c = heads * d
+    q = jnp.asarray(rng.normal(size=(b, lq, c)), jnp.float32)
+    kv = jnp.asarray(rng.normal(size=(b, lk, 2 * c)), jnp.float32)
+    scale = d ** -0.5
+
+    def loss(fn, q, kv, nvalid):
+        o, m, den = fn(q, kv, nvalid)
+        return (jnp.sum(o ** 2) + jnp.sum(jnp.exp(-m))
+                + jnp.sum(jnp.log(den)))
+
+    for nvalid in (lk, lk - 3):
+        nv = jnp.int32(nvalid)
+        gk = jax.grad(
+            lambda q, kv: loss(
+                lambda q_, kv_, n_: _hop_pallas(q_, kv_, heads, scale, True,
+                                                n_), q, kv, nv),
+            argnums=(0, 1))(q, kv)
+        gx = jax.grad(
+            lambda q, kv: loss(
+                lambda q_, kv_, n_: _hop_xla(q_, kv_, heads, scale, n_),
+                q, kv, nv),
+            argnums=(0, 1))(q, kv)
+        for a, b_ in zip(gk, gx):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                       rtol=1e-4, atol=1e-5)
+
+
 def test_dispatch_fallbacks():
     """impl='ring' must degrade to XLA (not crash) whenever the shape cannot
     tile the mesh: batch-1 init traces, batches not divisible by the data
