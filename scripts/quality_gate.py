@@ -525,7 +525,9 @@ def _build_trained_panoptic(batch, accel, interval, gelu, steps, hold=False):
             mask_token=m,
         )
         img = vae.apply(vae_params, z0, method="decode")
-        return img, pred_mask
+        # z0 feeds the latent pattern-match channel (same class patterns as
+        # the image-only trained geo) alongside the sharp mask-TV channel
+        return img, pred_mask, z0
 
     _, _, ctxs = _panoptic_class_assets()
 
