@@ -228,7 +228,10 @@ def train_gate_model(seconds: float = 600.0, batch: int = 64, geo="trained"):
         jax.random.PRNGKey(iseed),
         jnp.zeros((1, 32, 32, 4)), jnp.zeros((1,)), jnp.zeros((1,), jnp.int32),
     )
-    tx = optax.adamw(2e-4, weight_decay=0.03)
+    # Linear warmup (the reference trains every UViT with warmup,
+    # `utils.py:308-336`): lr 2e-4 cold on the 287M L geometry is unstable.
+    tx = optax.adamw(
+        optax.linear_schedule(0.0, 2e-4, 500), weight_decay=0.03)
     opt_state = tx.init(params)
     ema = params
 
@@ -245,8 +248,8 @@ def train_gate_model(seconds: float = 600.0, batch: int = 64, geo="trained"):
         ema = jax.tree.map(lambda e, p: 0.999 * e + 0.001 * p, ema, params)
         return params, opt_state, ema, loss
 
-    rs = np.random.RandomState(0)
-    key = jax.random.PRNGKey(42)
+    rs = np.random.RandomState(iseed)
+    key = jax.random.PRNGKey(42 + iseed)
     t0 = time.perf_counter()
     i, loss = 0, float("nan")
     while time.perf_counter() - t0 < seconds:
@@ -411,12 +414,14 @@ def train_gate_panoptic(seconds: float = 900.0, batch: int = 32):
     model = _trained_panoptic_model(False, attn_impl="auto",
                                     use_checkpoint=True)
     schedule = Schedule(stable_diffusion_beta_schedule())
+    iseed = _instance_seed()
     params = jax.jit(
         lambda k: model.init(
             k, jnp.zeros((1, 32, 32, 4)), jnp.zeros((1,)),
             jnp.zeros((1, 77, 768)), mask_token=jnp.zeros((1, 64, 64, 8)))
-    )(jax.random.PRNGKey(0))
-    tx = optax.adamw(2e-4, weight_decay=0.03)
+    )(jax.random.PRNGKey(iseed))
+    tx = optax.adamw(
+        optax.linear_schedule(0.0, 2e-4, 500), weight_decay=0.03)
     opt_state = tx.init(params)
     ema = params
 
@@ -440,8 +445,8 @@ def train_gate_panoptic(seconds: float = 900.0, batch: int = 32):
 
     assets = _panoptic_class_assets()
     pats, masks, ctxs = assets
-    rs = np.random.RandomState(0)
-    key = jax.random.PRNGKey(42)
+    rs = np.random.RandomState(iseed)
+    key = jax.random.PRNGKey(42 + iseed)
     t0 = time.perf_counter()
     i = 0
     le = lm = float("nan")
@@ -679,6 +684,11 @@ def report(geo, out_dir):
                 "mu": f["mu"], "sigma": f["sigma"],
                 "mask_hist": f["mask_hist"], "n": int(f["n"]),
                 "acts": f["acts"] if "acts" in f else None,
+                "latent_class_hist": (f["latent_class_hist"]
+                                      if "latent_class_hist" in f
+                                      else np.zeros(0)),
+                "latent_q_hist": (f["latent_q_hist"]
+                                  if "latent_q_hist" in f else np.zeros(0)),
             }
     exact = {k: v for k, v in runs.items() if k.startswith("exact")}
     modes = {k: v for k, v in runs.items() if not k.startswith("exact")}
