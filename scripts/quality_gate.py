@@ -230,8 +230,13 @@ def train_gate_model(seconds: float = 600.0, batch: int = 64, geo="trained"):
     )
     # Linear warmup (the reference trains every UViT with warmup,
     # `utils.py:308-336`): lr 2e-4 cold on the 287M L geometry is unstable.
+    # QG_LR: the S recipe's 2e-4 left the L geometry FLAT at loss=1.0 (the
+    # zero-output collapse: E[eps^2]=1) for 2.5k steps (round 4) with
+    # healthy init grad norms — width-scaled 1e-4 is the L default.
+    lr = float(os.environ.get(
+        "QG_LR", "1e-4" if geo == "trained_L" else "2e-4"))
     tx = optax.adamw(
-        optax.linear_schedule(0.0, 2e-4, 500), weight_decay=0.03)
+        optax.linear_schedule(0.0, lr, 500), weight_decay=0.03)
     opt_state = tx.init(params)
     ema = params
 
