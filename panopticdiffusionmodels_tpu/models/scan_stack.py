@@ -43,9 +43,12 @@ def resolve_remat_policy(name: Optional[str]):
         "everything": jax.checkpoint_policies.everything_saveable,
         # Save ONLY the per-block attention outputs (named in
         # models/layers.py::Attention): one bf16 (B, L, C) per block —
-        # far less HBM than dots_no_batch's every-GEMM-output — and the
+        # a strict subset of dots_no_batch's every-GEMM-output — and the
         # remat replay skips re-running the attention kernel (its VJP
         # residual is qkv, which the replay still recomputes cheaply).
+        # Grad-parity-verified on chip (scripts/verify_kernel_tpu.py);
+        # throughput UNMEASURED on the shipped geometries (BENCH.md
+        # "Training remat policy") — A/B before relying on it.
         "save_attn": jax.checkpoint_policies.save_only_these_names("attn_out"),
     }
     if name not in policies:

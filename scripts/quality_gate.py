@@ -665,7 +665,9 @@ def _ladder(ratio):
 # 25-NFE positive control MARGINAL vs its own seed floor — while ratios to
 # the SAME instance's 25-NFE control are stable: accel=0.2 sat at 1.5-2.0x
 # the control across instances, cfg_interval at ~3x+).  Thresholds set from
-# the round-4 three-instance calibration (BENCH.md "Gate calibration").
+# the TWO trained panoptic instances measured so far (round-3 default +
+# the sharper mask-hold instance; BENCH.md "Mask-guidance hold" table).
+# A third instance (QG_INSTANCE=c) would tighten the spread estimate.
 TV_CTRL_PASS = 2.0
 TV_CTRL_MARGINAL = 3.0
 CONTROL_SPEC = "steps=25"
