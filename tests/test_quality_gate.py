@@ -159,6 +159,88 @@ def test_report_kid_falls_back_without_acts(qg, tmp_path):
     assert "kid" not in rep["modes"]["modex"]
 
 
+def test_latent_stats_identifies_patterns(qg):
+    """The latent pattern-match channel must assign pattern-built latents to
+    the right class with high match quality, and score unrelated noise low —
+    this is the property that let it catch the broken trained_L instance
+    (q<0.06 everywhere) that the FD/KID channels rubber-stamped."""
+    pats = qg._class_patterns()
+    rs = np.random.RandomState(3)
+    y = rs.randint(0, 10, 64)
+    z = pats[y] + 0.05 * rs.normal(size=(64, 32, 32, 4))
+    class_hist, q_hist = qg._latent_stats(z, pats)
+    np.testing.assert_array_equal(class_hist, np.bincount(y, minlength=10))
+    # match quality concentrated high: all mass above q = 0.5
+    assert q_hist[: qg.Q_BINS // 2].sum() == 0
+    assert q_hist.sum() == 64
+    # pure noise: same bin count, but mass at LOW q (off-manifold signal)
+    noise = rs.normal(size=(64, 32, 32, 4))
+    _, q_noise = qg._latent_stats(noise, pats)
+    assert q_noise[qg.Q_BINS // 2:].sum() == 0
+
+
+def _write_latent_run(out_dir, spec, class_hist, q_hist, d=4, n=256):
+    np.savez(
+        os.path.join(out_dir, f"{spec.replace(':', '_').replace(',', '-')}.npz"),
+        mu=np.zeros(d), sigma=np.eye(d), mask_hist=np.zeros(256, np.int64),
+        n=n, wall=1.0, spec=spec,
+        latent_class_hist=np.asarray(class_hist, np.int64),
+        latent_q_hist=np.asarray(q_hist, np.int64),
+    )
+
+
+def test_report_latent_tv_control_normalized(qg, tmp_path):
+    """Latent-channel verdicts are keyed to the 25-NFE control's own shift
+    (the stable cross-instance statistic), not the raw seed floor: a mode at
+    1.5x the control PASSes, a mode far beyond it FAILs even when the image
+    FD channel sees nothing."""
+    out = str(tmp_path)
+    qh = np.zeros(qg.Q_BINS, np.int64)
+    qh[28] = 1000
+
+    def q_shifted(k):  # move k samples one bin down — TV = k/1000
+        h = qh.copy()
+        h[28] -= k
+        h[27] += k
+        return h
+
+    cls = np.full(10, 100, np.int64)
+    _write_latent_run(out, "exactA", cls, qh)
+    _write_latent_run(out, "exactB", cls, q_shifted(4))    # floor = 0.004
+    _write_latent_run(out, "steps=25", cls, q_shifted(10))  # ctrl = 0.010
+    _write_latent_run(out, "modegood", cls, q_shifted(15))  # 1.5x ctrl
+    bad_q = np.zeros(qg.Q_BINS, np.int64)
+    bad_q[2] = 1000                                         # TV 1.0 = 100x
+    _write_latent_run(out, "modebad", cls, bad_q)
+    qg.report("testgeo", out)
+    with open(os.path.join(out, "report.json")) as f:
+        rep = json.load(f)
+    assert rep["latent_tv_floor"] == pytest.approx(0.004)
+    assert rep["latent_tv_control_25nfe"] == pytest.approx(0.010)
+    good = rep["modes"]["modegood"]
+    assert good["latent_tv_ctrl_ratio"] == pytest.approx(1.5)
+    assert good["verdict"] == "PASS"
+    bad = rep["modes"]["modebad"]
+    assert bad["latent_tv_ctrl_ratio"] == pytest.approx(100.0)
+    assert bad["verdict"] == "FAIL"
+    # the control itself is judged on the floor ladder, not against itself
+    assert "latent_tv_ctrl_ratio" not in rep["modes"]["steps=25"]
+
+
+def test_report_latent_channel_absent_backcompat(qg, tmp_path):
+    """Legacy npz runs without latent histograms must not break the report
+    (the channel degrades to None, image/mask channels still verdict)."""
+    out = str(tmp_path)
+    _write_run(out, "exactA", np.zeros(4), np.eye(4))
+    _write_run(out, "exactB", np.zeros(4), np.eye(4))
+    _write_run(out, "modex", np.zeros(4), np.eye(4))
+    qg.report("testgeo", out)
+    with open(os.path.join(out, "report.json")) as f:
+        rep = json.load(f)
+    assert rep["latent_tv_floor"] is None
+    assert rep["modes"]["modex"]["latent_tv"] is None
+
+
 def test_panoptic_class_assets_coupled(qg):
     """The trained_panoptic distribution must couple image and mask: the
     mask ids are a quantization of the class pattern's first channel, ids
