@@ -183,6 +183,15 @@ def main():
             recommended_vs_baseline=round(rec / A100_BASELINE_EST, 3),
             recommended_certification="quality_gate/trained_L/report.json",
         )
+        try:  # surface the certified verdict itself alongside the pointer
+            with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   "quality_gate", "trained_L",
+                                   "report.json")) as f:
+                modes = json.load(f)["modes"]
+            record["recommended_gate_verdict"] = modes["full=0.2:0.0,0.5"][
+                "verdict"]
+        except (OSError, KeyError, ValueError):
+            pass  # report not produced in this checkout — pointer stands
     print(json.dumps(record))
 
 
