@@ -33,6 +33,14 @@ import time
 
 A100_BASELINE_EST = 4.0  # img/s/chip, see module docstring
 
+# The recommended accelerated operating point for the image flagship —
+# knobs, display name, and the quality-gate spec key certifying it
+# (quality_gate/trained_L/report.json), kept in one place so recommendation
+# and certification cannot drift apart (round-4 verdict weak #1).
+RECOMMENDED_MODE_NAME = "gelu_approx+accel0.2+cfg_interval(0.0,0.5)"
+RECOMMENDED_MODE_SPEC = "full=0.2:0.0,0.5"
+RECOMMENDED_KNOBS = dict(accel=0.2, cfg_interval=(0.0, 0.5), gelu=True)
+
 import jax
 
 # Persistent compilation cache: recompiles after the first run are seconds.
@@ -172,26 +180,39 @@ def main():
     # certified accelerated operating point alongside it.
     if os.environ.get("BENCH_RECOMMENDED", "on") != "off":
         rec_pipeline, _, _ = build_pipeline(
-            batch_size, components, accel=0.2, cfg_interval=(0.0, 0.5),
-            gelu=True,
+            batch_size, components, **RECOMMENDED_KNOBS,
         )
         rec = _time_pipeline(rec_pipeline, params, vae_params, batch_size,
                              reps)
         record.update(
-            recommended_mode="gelu_approx+accel0.2+cfg_interval(0.0,0.5)",
+            recommended_mode=RECOMMENDED_MODE_NAME,
             recommended_value=round(rec, 3),
             recommended_vs_baseline=round(rec / A100_BASELINE_EST, 3),
-            recommended_certification="quality_gate/trained_L/report.json",
         )
-        try:  # surface the certified verdict itself alongside the pointer
-            with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                   "quality_gate", "trained_L",
-                                   "report.json")) as f:
-                modes = json.load(f)["modes"]
-            record["recommended_gate_verdict"] = modes["full=0.2:0.0,0.5"][
-                "verdict"]
-        except (OSError, KeyError, ValueError):
-            pass  # report not produced in this checkout — pointer stands
+        # Surface the certification itself, not just a pointer.  The three
+        # cases are distinct (ADVICE round 4): report file absent -> no
+        # certification claim at all; report present but the recommended
+        # mode never gated -> UNMEASURED; report present but NO channel
+        # armed by that instance's NFE dose-response -> UNARMED (round-4
+        # lesson: an unarmed PASS is a blind spot, not a certificate).
+        report_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "quality_gate", "trained_L", "report.json")
+        try:
+            with open(report_path) as f:
+                rep = json.load(f)
+        except (OSError, ValueError):
+            record["recommended_gate_verdict"] = "UNMEASURED"
+        else:
+            record["recommended_certification"] = (
+                "quality_gate/trained_L/report.json")
+            entry = rep.get("modes", {}).get(RECOMMENDED_MODE_SPEC)
+            if entry is None:
+                record["recommended_gate_verdict"] = "UNMEASURED"
+            elif not rep.get("report_armed", False):
+                record["recommended_gate_verdict"] = "UNARMED"
+            else:
+                record["recommended_gate_verdict"] = entry["verdict"]
     print(json.dumps(record))
 
 

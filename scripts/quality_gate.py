@@ -30,6 +30,14 @@ BENCH.md; image channel = KID ratio to floor, mask channel = TV ratio):
   MARGINAL  2x..5x — measurable but small; re-measure on trained weights;
   FAIL      > 5x — the mode visibly moves the distribution; demote it.
 
+ARMING (round 5): a channel's PASS counts only if the channel is ARMED on
+that instance — the 25-NFE control scores PASS/MARGINAL on it AND some
+sub-25-NFE dose FAILs it (the channel provably detects real shifts there).
+Mode verdicts are combined (worst-of) over armed channels only; with no
+armed channel the verdict is UNARMED, never PASS.  `report.json` records
+per-channel {armed, control_verdict, armed_at_steps} and `report_armed`;
+bench.py refuses to print a certification backed by an unarmed report.
+
 For panoptic geometries the mask stream gets its own distribution proxy:
 total-variation distance between the mask-id frequency histograms (analog
 bits decoded to ids), again judged against the seed-to-seed floor.
@@ -64,6 +72,13 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
+
+# QG_CPU=1: force the CPU backend (the `report` spec is pure host-side
+# numpy over saved .npz stats — regenerating a report must not queue on the
+# single TPU claim; JAX_PLATFORMS env alone is not honored under the axon
+# plugin, see CLAUDE.md).
+if os.environ.get("QG_CPU", ""):
+    jax.config.update("jax_platforms", "cpu")
 
 jax.config.update("jax_compilation_cache_dir", os.environ.get("JAX_CACHE_DIR", "/root/.jax_cache"))
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
@@ -678,6 +693,50 @@ def _ladder_ctrl(ratio):
             else ("MARGINAL" if ratio <= TV_CTRL_MARGINAL else "FAIL"))
 
 
+# --- gate arming (round-5, verdict weak #5) -------------------------------
+# Round-4 finding: a channel's PASS is only a measurement if THAT channel,
+# on THAT trained instance, demonstrably detects real distribution shifts —
+# the FD/KID channels silently lost detection power per instance (a 3-NFE
+# control PASSed at 0.00x on one instance; a broken instance was
+# rubber-stamped until the latent channel caught it).  Arming is therefore a
+# recorded property of the report, derived from the NFE dose-response:
+#   armed(channel) := the 25-NFE control scores PASS/MARGINAL on the channel
+#                     (the yardstick itself must be tolerable)
+#                 AND at least one sub-control dose (steps < 25) FAILs it
+#                     (the channel provably fires on a real shift).
+# Mode verdicts are emitted ONLY from armed channels; with no armed channel
+# the verdict is UNARMED — a PASS can no longer be a blind spot.
+_RANK = {"PASS": 0, "MARGINAL": 1, "FAIL": 2}
+
+
+def _steps_of(name):
+    """NFE dose of a `steps=<n>` control spec, else None."""
+    if name.startswith("steps="):
+        return int(name.split("=", 1)[1])
+    return None
+
+
+def _arm_channels(channel_verdicts):
+    """channel_verdicts: {mode_name: {channel: verdict}} ->
+    {channel: {armed, control_verdict, armed_at_steps}}.
+
+    armed_at_steps is the LARGEST failing sub-control dose (a larger-NFE
+    FAIL means the channel detects subtler shifts)."""
+    channels = sorted({c for ch in channel_verdicts.values() for c in ch})
+    out = {}
+    for c in channels:
+        ctrl_v = channel_verdicts.get(CONTROL_SPEC, {}).get(c)
+        fails = [s for name, ch in channel_verdicts.items()
+                 if (s := _steps_of(name)) is not None and s < 25
+                 and ch.get(c) == "FAIL"]
+        out[c] = {
+            "armed": ctrl_v in ("PASS", "MARGINAL") and bool(fails),
+            "control_verdict": ctrl_v,
+            "armed_at_steps": max(fails) if fails else None,
+        }
+    return out
+
+
 def report(geo, out_dir):
     from panopticdiffusionmodels_tpu.evaluation.fid import frechet_distance
     from panopticdiffusionmodels_tpu.evaluation.kid import kid
@@ -774,60 +833,93 @@ def report(geo, out_dir):
     if CONTROL_SPEC in modes:
         tv_ctrl = tv(ref, modes[CONTROL_SPEC])
     ltv_ctrl = ltv(ref, modes[CONTROL_SPEC]) if CONTROL_SPEC in modes else None
+    for nm, c in (("mask", tv_ctrl), ("latent", ltv_ctrl)):
+        if c == 0.0:  # a 0.0 control cannot normalize anything (ADVICE r4)
+            print(f"WARNING: {nm}-TV 25-NFE control is exactly 0.0 — "
+                  "degenerate yardstick; falling back to the floor ladder")
     results = {"geo": geo, "n": n, "instance": _INSTANCE or "default",
                "fd_floor": fd_floor, "kid_floor": kid_floor,
                "tv_floor": tv_floor, "tv_control_25nfe": tv_ctrl,
                "latent_tv_floor": ltv_floor, "latent_tv_control_25nfe": ltv_ctrl,
                "tv_ctrl_thresholds": [TV_CTRL_PASS, TV_CTRL_MARGINAL],
                "modes": {}}
+    # Pass 1: per-mode, per-channel entries + channel verdicts.
+    channel_verdicts, lines = {}, {}
     for name, run in sorted(modes.items()):
         d = fd(ref, run)
         fd_ratio = d / max(fd_floor, 1e-12)
         entry = {"fd": d, "fd_ratio": fd_ratio}
+        ch = {}
         line = f"{name:22s} FD={d:8.4f} ({fd_ratio:4.2f}x)"
         if have_acts:
             km, ks = kd(ref, run)
             kr = max(km, 0.0) / max(kid_floor, 1e-12)
-            verdict = _ladder(kr)
+            ch["image"] = _ladder(kr)
             entry.update(kid=km, kid_std=ks, kid_ratio=kr)
-            line += f"  KID={km:9.3e}±{ks:.1e} ({kr:5.2f}x floor) {verdict}"
+            line += f"  KID={km:9.3e}±{ks:.1e} ({kr:5.2f}x floor) {ch['image']}"
         else:  # legacy stats-only runs: fall back to the FD channel
-            verdict = _ladder(fd_ratio)
-            line += f" {verdict}"
+            ch["image"] = _ladder(fd_ratio)
+            line += f" {ch['image']}"
         m = tv(ref, run)
         entry["mask_tv"] = m
         if m is not None and tv_floor is not None:
             mr = m / max(tv_floor, 1e-12)
             entry["mask_tv_floor_ratio"] = mr
-            if tv_ctrl and name != CONTROL_SPEC:
+            if tv_ctrl is not None and tv_ctrl > 0.0 and name != CONTROL_SPEC:
                 # verdict keyed to the control-normalized ratio
-                cr = m / max(tv_ctrl, 1e-12)
-                mv = _ladder_ctrl(cr)
+                cr = m / tv_ctrl
+                ch["mask"] = _ladder_ctrl(cr)
                 entry["mask_tv_ctrl_ratio"] = cr
                 line += (f"   mask TV={m:.5f} ({mr:5.2f}x floor, "
-                         f"{cr:5.2f}x 25-NFE ctrl) {mv}")
-            else:  # no control run (or this IS the control): floor ladder
-                mv = _ladder(mr)
-                line += f"   mask TV={m:.5f} ({mr:5.2f}x floor) {mv}"
-            verdict = verdict if verdict == "FAIL" or mv == "PASS" else mv
+                         f"{cr:5.2f}x 25-NFE ctrl) {ch['mask']}")
+            else:  # no/degenerate control (or this IS it): floor ladder
+                ch["mask"] = _ladder(mr)
+                line += f"   mask TV={m:.5f} ({mr:5.2f}x floor) {ch['mask']}"
         lm = ltv(ref, run)
         entry["latent_tv"] = lm
         if lm is not None and ltv_floor is not None:
             lr = lm / max(ltv_floor, 1e-12)
             entry["latent_tv_floor_ratio"] = lr
-            if ltv_ctrl and name != CONTROL_SPEC:
-                lcr = lm / max(ltv_ctrl, 1e-12)
-                lv = _ladder_ctrl(lcr)
+            if ltv_ctrl is not None and ltv_ctrl > 0.0 and name != CONTROL_SPEC:
+                lcr = lm / ltv_ctrl
+                ch["latent"] = _ladder_ctrl(lcr)
                 entry["latent_tv_ctrl_ratio"] = lcr
                 line += (f"   latent TV={lm:.5f} ({lr:5.2f}x floor, "
-                         f"{lcr:5.2f}x 25-NFE ctrl) {lv}")
+                         f"{lcr:5.2f}x 25-NFE ctrl) {ch['latent']}")
             else:
-                lv = _ladder(lr)
-                line += f"   latent TV={lm:.5f} ({lr:5.2f}x floor) {lv}"
-            verdict = verdict if verdict == "FAIL" or lv == "PASS" else lv
-        print(line)
-        entry["verdict"] = verdict
+                ch["latent"] = _ladder(lr)
+                line += f"   latent TV={lm:.5f} ({lr:5.2f}x floor) {ch['latent']}"
+        entry["channel_verdicts"] = ch
+        channel_verdicts[name] = ch
+        lines[name] = line
         results["modes"][name] = entry
+    # Pass 2: arm channels from this instance's dose-response, then emit
+    # mode verdicts from ARMED channels only (see _arm_channels).
+    arming = _arm_channels(channel_verdicts)
+    results["channels"] = arming
+    results["report_armed"] = any(a["armed"] for a in arming.values())
+    for name in sorted(modes):
+        ch = channel_verdicts[name]
+        if _steps_of(name) is not None:
+            # dose controls ARE the arming evidence: verdict over all
+            # channels, recorded descriptively
+            verdict = max(ch.values(), key=_RANK.get) if ch else "UNARMED"
+            results["modes"][name]["role"] = "control"
+        else:
+            armed_vs = [v for c, v in ch.items()
+                        if arming.get(c, {}).get("armed")]
+            verdict = (max(armed_vs, key=_RANK.get) if armed_vs
+                       else "UNARMED")
+        results["modes"][name]["verdict"] = verdict
+        print(f"{lines[name]}   => {verdict}")
+    armed_desc = ", ".join(
+        f"{c}:{'ARMED@' + str(a['armed_at_steps']) + 'NFE' if a['armed'] else 'unarmed'}"
+        for c, a in arming.items()) or "no channels"
+    print(f"channel arming (this instance's NFE dose-response): {armed_desc}")
+    if not results["report_armed"]:
+        print("WARNING: NO channel is armed on this instance — verdicts are "
+              "UNARMED, not PASS (run steps=25 + a sub-25 dose control, or "
+              "retrain the instance)")
     out = os.path.join(out_dir, "report.json")
     with open(out, "w") as f:
         json.dump(results, f, indent=1)

@@ -50,7 +50,8 @@ def _write_run(out_dir, spec, mu, sigma, mask_hist=None, n=256):
 def test_report_verdicts(qg, tmp_path, capsys):
     """PASS <= 2x floor, MARGINAL 2-5x, FAIL > 5x — on analytic Gaussians
     where the Frechet distance is exact: FD between two d-dim standard
-    normals with mean offset delta is d*delta^2 (same covariance)."""
+    normals with mean offset delta is d*delta^2 (same covariance).  The
+    dose controls (steps=25 PASS, steps=10 FAIL) arm the FD channel."""
     d = 8
     rs = np.random.RandomState(0)
     sigma = np.eye(d)
@@ -62,6 +63,9 @@ def test_report_verdicts(qg, tmp_path, capsys):
     # exact seeds: pairwise FD = d * 0.01^2 = 8e-4 each -> floor = 8e-4
     _write_run(out, "exactA", mu_off(0.00), sigma)
     _write_run(out, "exactB", mu_off(0.01), sigma)
+    # NFE dose-response: 25-NFE within floor, 10-NFE far beyond -> FD armed
+    _write_run(out, "steps=25", mu_off(0.01), sigma)       # 1.0x floor
+    _write_run(out, "steps=10", mu_off(0.10), sigma)       # 100x -> FAIL
     # modes at known multiples of the floor
     _write_run(out, "modepass", mu_off(0.01), sigma)       # 1.0x floor
     _write_run(out, "modemarginal", mu_off(0.018), sigma)  # 3.24x
@@ -70,11 +74,55 @@ def test_report_verdicts(qg, tmp_path, capsys):
     with open(os.path.join(out, "report.json")) as f:
         rep = json.load(f)
     assert rep["fd_floor"] == pytest.approx(8e-4, rel=1e-6)
+    assert rep["report_armed"] is True
+    assert rep["channels"]["image"] == {
+        "armed": True, "control_verdict": "PASS", "armed_at_steps": 10}
     assert rep["modes"]["modepass"]["verdict"] == "PASS"
     assert rep["modes"]["modemarginal"]["verdict"] == "MARGINAL"
     assert rep["modes"]["modefail"]["verdict"] == "FAIL"
     assert rep["modes"]["modefail"]["fd"] == pytest.approx(8 * 0.05 ** 2, rel=1e-6)
+    assert rep["modes"]["steps=10"]["role"] == "control"
     del rs
+
+
+def test_report_unarmed_without_dose_response(qg, tmp_path):
+    """Round-4's hardest lesson institutionalized: without NFE dose-response
+    evidence on THIS instance, a clean-looking mode gets UNARMED, not PASS —
+    the rubber-stamp failure mode is structurally impossible."""
+    d = 8
+    sigma = np.eye(d)
+    out = str(tmp_path)
+    _write_run(out, "exactA", np.zeros(d), sigma)
+    _write_run(out, "exactB", np.full(d, 0.01), sigma)
+    _write_run(out, "modeclean", np.full(d, 0.01), sigma)  # 1.0x floor
+    qg.report("testgeo", out)
+    with open(os.path.join(out, "report.json")) as f:
+        rep = json.load(f)
+    assert rep["report_armed"] is False
+    assert rep["channels"]["image"]["armed"] is False
+    # the channel measurement is still recorded, but carries no authority
+    assert rep["modes"]["modeclean"]["channel_verdicts"]["image"] == "PASS"
+    assert rep["modes"]["modeclean"]["verdict"] == "UNARMED"
+
+
+def test_report_unarmed_when_channel_misses_doses(qg, tmp_path):
+    """A channel whose sub-control doses all PASS (the round-4 trained-
+    instance KID blind spot: a 3-NFE control scored 0.00x) must not arm —
+    even with the control present and passing."""
+    d = 8
+    sigma = np.eye(d)
+    out = str(tmp_path)
+    _write_run(out, "exactA", np.zeros(d), sigma)
+    _write_run(out, "exactB", np.full(d, 0.01), sigma)
+    _write_run(out, "steps=25", np.full(d, 0.01), sigma)  # PASS
+    _write_run(out, "steps=10", np.full(d, 0.012), sigma)  # 1.44x -> PASS too
+    _write_run(out, "modeclean", np.full(d, 0.01), sigma)
+    qg.report("testgeo", out)
+    with open(os.path.join(out, "report.json")) as f:
+        rep = json.load(f)
+    assert rep["channels"]["image"]["armed"] is False
+    assert rep["channels"]["image"]["armed_at_steps"] is None
+    assert rep["modes"]["modeclean"]["verdict"] == "UNARMED"
 
 
 def test_report_mask_tv(qg, tmp_path):
@@ -92,11 +140,18 @@ def test_report_mask_tv(qg, tmp_path):
     shifted[:4] = [100, 700, 100, 100]  # TV = 0.6 >> 5x floor
     _write_run(out, "exactA", np.zeros(d), sigma, mask_hist=base)
     _write_run(out, "exactB", np.zeros(d), sigma, mask_hist=jitter)
+    # dose-response arms the mask channel (25-NFE at the floor, 10-NFE FAILs)
+    _write_run(out, "steps=25", np.zeros(d), sigma, mask_hist=jitter)
+    _write_run(out, "steps=10", np.zeros(d), sigma, mask_hist=shifted)
     _write_run(out, "modeshift", np.zeros(d), sigma, mask_hist=shifted)
     qg.report("testgeo", out)
     with open(os.path.join(out, "report.json")) as f:
         rep = json.load(f)
     assert rep["tv_floor"] == pytest.approx(0.01)
+    # the image FD channel sees nothing anywhere -> it never fires a dose,
+    # so it stays unarmed; the mask channel alone carries the verdict
+    assert rep["channels"]["image"]["armed"] is False
+    assert rep["channels"]["mask"]["armed"] is True
     mode = rep["modes"]["modeshift"]
     assert mode["fd"] == pytest.approx(0.0, abs=1e-12)
     assert mode["mask_tv"] == pytest.approx(0.6)
@@ -127,12 +182,16 @@ def test_report_kid_channel_armed(qg, tmp_path):
     out = str(tmp_path)
     _write_acts_run(out, "exactA", a)
     _write_acts_run(out, "exactB", b)
+    # dose-response arms the KID channel on this synthetic "instance"
+    _write_acts_run(out, "steps=25", rs.normal(size=(n, d)))
+    _write_acts_run(out, "steps=10", rs.normal(size=(n, d)) + 0.3)
     _write_acts_run(out, "modeshift", shifted)
     _write_acts_run(out, "modeok", a + 0.001 * rs.normal(size=(n, d)))
     qg.report("testgeo", out)
     with open(os.path.join(out, "report.json")) as f:
         rep = json.load(f)
     assert rep["kid_floor"] is not None
+    assert rep["channels"]["image"]["armed"] is True
     shift = rep["modes"]["modeshift"]
     # the FD channel is blind here (shift below ~2x its bias floor)...
     assert shift["fd_ratio"] < 2.0
@@ -157,6 +216,9 @@ def test_report_kid_falls_back_without_acts(qg, tmp_path):
         rep = json.load(f)
     assert rep["kid_floor"] is None
     assert "kid" not in rep["modes"]["modex"]
+    # no dose evidence at all -> unarmed report, UNARMED verdict
+    assert rep["report_armed"] is False
+    assert rep["modes"]["modex"]["verdict"] == "UNARMED"
 
 
 def test_latent_stats_identifies_patterns(qg):
@@ -208,15 +270,17 @@ def test_report_latent_tv_control_normalized(qg, tmp_path):
     _write_latent_run(out, "exactA", cls, qh)
     _write_latent_run(out, "exactB", cls, q_shifted(4))    # floor = 0.004
     _write_latent_run(out, "steps=25", cls, q_shifted(10))  # ctrl = 0.010
-    _write_latent_run(out, "modegood", cls, q_shifted(15))  # 1.5x ctrl
     bad_q = np.zeros(qg.Q_BINS, np.int64)
     bad_q[2] = 1000                                         # TV 1.0 = 100x
+    _write_latent_run(out, "steps=10", cls, bad_q)          # arms the channel
+    _write_latent_run(out, "modegood", cls, q_shifted(15))  # 1.5x ctrl
     _write_latent_run(out, "modebad", cls, bad_q)
     qg.report("testgeo", out)
     with open(os.path.join(out, "report.json")) as f:
         rep = json.load(f)
     assert rep["latent_tv_floor"] == pytest.approx(0.004)
     assert rep["latent_tv_control_25nfe"] == pytest.approx(0.010)
+    assert rep["channels"]["latent"]["armed"] is True
     good = rep["modes"]["modegood"]
     assert good["latent_tv_ctrl_ratio"] == pytest.approx(1.5)
     assert good["verdict"] == "PASS"
@@ -239,6 +303,36 @@ def test_report_latent_channel_absent_backcompat(qg, tmp_path):
         rep = json.load(f)
     assert rep["latent_tv_floor"] is None
     assert rep["modes"]["modex"]["latent_tv"] is None
+
+
+def test_report_degenerate_zero_control(qg, tmp_path, capsys):
+    """A 25-NFE control whose TV vs exactA is exactly 0.0 is a degenerate
+    yardstick (ADVICE round 4): the report must warn and fall back to the
+    floor ladder instead of silently reverting via truthiness."""
+    d = 4
+    sigma = np.eye(d)
+    out = str(tmp_path)
+    base = np.zeros(256, np.int64)
+    base[:4] = [700, 100, 100, 100]
+    jitter = base.copy()
+    jitter[:4] = [690, 110, 100, 100]  # TV floor = 0.01
+    shifted = base.copy()
+    shifted[:4] = [100, 700, 100, 100]  # TV = 0.6
+    _write_run(out, "exactA", np.zeros(d), sigma, mask_hist=base)
+    _write_run(out, "exactB", np.zeros(d), sigma, mask_hist=jitter)
+    _write_run(out, "steps=25", np.zeros(d), sigma, mask_hist=base)  # ctrl=0.0
+    _write_run(out, "steps=10", np.zeros(d), sigma, mask_hist=shifted)
+    _write_run(out, "modeshift", np.zeros(d), sigma, mask_hist=shifted)
+    qg.report("testgeo", out)
+    assert "degenerate" in capsys.readouterr().out
+    with open(os.path.join(out, "report.json")) as f:
+        rep = json.load(f)
+    assert rep["tv_control_25nfe"] == 0.0
+    mode = rep["modes"]["modeshift"]
+    # floor-ladder fallback: 60x the floor -> FAIL, no ctrl ratio recorded
+    assert "mask_tv_ctrl_ratio" not in mode
+    assert mode["mask_tv_floor_ratio"] == pytest.approx(60.0)
+    assert mode["verdict"] == "FAIL"
 
 
 def test_panoptic_class_assets_coupled(qg):
