@@ -15,7 +15,8 @@ python train.py --config=imagenet256_uvit_large \
 
 # 512-res panoptic (L~2126 tokens): sequence parallelism shards the token dim
 # of activations across chips (params stay replicated over sp; attention runs
-# through XLA's partitionable path under sp)
+# through RING attention — shard_map + ppermute K/V rotation with Pallas hop
+# kernels, never gathering full K/V; opt out with --config.nnet.attn_impl=xla)
 python train.py --config=mscoco_uvit_small_512 \
     --config.mesh.dp=2 --config.mesh.sp=4
 

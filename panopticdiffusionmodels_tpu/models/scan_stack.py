@@ -42,13 +42,15 @@ def resolve_remat_policy(name: Optional[str]):
         "nothing": jax.checkpoint_policies.nothing_saveable,
         "everything": jax.checkpoint_policies.everything_saveable,
         # Save ONLY the per-block attention outputs (named in
-        # models/layers.py::Attention): one bf16 (B, L, C) per block —
-        # a strict subset of dots_no_batch's every-GEMM-output — and the
-        # remat replay skips re-running the attention kernel (its VJP
-        # residual is qkv, which the replay still recomputes cheaply).
-        # Grad-parity-verified on chip (scripts/verify_kernel_tpu.py);
-        # throughput UNMEASURED on the shipped geometries (BENCH.md
-        # "Training remat policy") — A/B before relying on it.
+        # models/layers.py::Attention): one bf16 (B, L, C) per block.
+        # attn_out is the Pallas custom-call output (not a dot output, so
+        # dots_no_batch does not save it), but byte-wise it is smaller than
+        # dots_no_batch's saved (B, L, 3C) qkv GEMM output, so it fits
+        # wherever that measured policy fits; the remat replay skips
+        # re-running the attention kernel (its VJP residual is qkv, which
+        # the replay still recomputes cheaply).  Grad-parity-verified on
+        # chip (scripts/verify_kernel_tpu.py); see BENCH.md "Training remat
+        # policy" for the measured A/B.
         "save_attn": jax.checkpoint_policies.save_only_these_names("attn_out"),
     }
     if name not in policies:
