@@ -37,9 +37,16 @@ A100_BASELINE_EST = 4.0  # img/s/chip, see module docstring
 # knobs, display name, and the quality-gate spec key certifying it
 # (quality_gate/trained_L/report.json), kept in one place so recommendation
 # and certification cannot drift apart (round-4 verdict weak #1).
-RECOMMENDED_MODE_NAME = "gelu_approx+accel0.2+cfg_interval(0.0,0.5)"
-RECOMMENDED_MODE_SPEC = "full=0.2:0.0,0.5"
-RECOMMENDED_KNOBS = dict(accel=0.2, cfg_interval=(0.0, 0.5), gelu=True)
+# Round 5: tanh GELU + forecast-skip tau=0.2, NO guidance interval — the
+# flagship-scale gate measures interval=(0.0,0.5) alone at 36.7x the
+# 25-NFE control's latent shift (FAIL; the old interval-containing combo
+# was 36.3x), while this pair sits at 1.57x (PASS), mirroring the round-3
+# panoptic demotion.  See samplers/speed_budget.py and BENCH.md round 5.
+RECOMMENDED_MODE_NAME = "gelu_approx+accel0.2"
+RECOMMENDED_MODE_SPEC = "gelu_accel=0.2"
+# cfg_interval=() = explicitly OFF (None would mean "defer to the
+# BENCH_CFG_INTERVAL env var" in build_pipeline)
+RECOMMENDED_KNOBS = dict(accel=0.2, cfg_interval=(), gelu=True)
 
 import jax
 
@@ -104,6 +111,7 @@ def build_pipeline(batch_size: int, components=None, accel=None,
         cfg_interval = (
             tuple(float(v) for v in ci_env.split(",")) if ci_env else None
         )
+    cfg_interval = tuple(cfg_interval) if cfg_interval else None
     if accel is None:
         accel = float(os.environ.get("BENCH_ACCEL", "0"))
     if gelu is not None and gelu != model.gelu_approx:
@@ -135,6 +143,30 @@ def build_pipeline(batch_size: int, components=None, accel=None,
         return img
 
     return pipeline, params, vae_params
+
+
+def gate_certification(report_path, mode_spec):
+    """(verdict, certifiable) for a recommended mode against a quality-gate
+    report.  The cases are distinct (ADVICE round 4 + round-5 arming):
+      - report file absent/unreadable -> ("UNMEASURED", False): no
+        certification claim at all;
+      - report present but the mode never gated -> ("UNMEASURED", True):
+        the report is citable but carries no verdict for this mode;
+      - report present but NO channel armed by that instance's NFE
+        dose-response -> ("UNARMED", False): round-4 lesson — an unarmed
+        PASS is a blind spot, not a certificate;
+      - otherwise the mode's armed verdict (PASS/MARGINAL/FAIL/UNARMED)."""
+    try:
+        with open(report_path) as f:
+            rep = json.load(f)
+    except (OSError, ValueError):
+        return "UNMEASURED", False
+    entry = rep.get("modes", {}).get(mode_spec)
+    if entry is None:
+        return "UNMEASURED", True
+    if not rep.get("report_armed", False):
+        return "UNARMED", False
+    return entry["verdict"], True
 
 
 def _time_pipeline(pipeline, params, vae_params, batch_size, reps):
@@ -172,12 +204,12 @@ def main():
     }
 
     # The recommended gate-PASSED speed mode for this (image-only flagship)
-    # geometry: tanh GELU + forecast-skip tau=0.2 + guidance interval
-    # (0.0, 0.5).  Certification: distribution-level quality gate at the SAME
-    # U-ViT-L/2 geometry on weights TRAINED on chip, with armed NFE
-    # dose-response controls (quality_gate/trained_L/report.json; BENCH.md
-    # round 4).  Exact protocol stays the headline "value"; this records the
-    # certified accelerated operating point alongside it.
+    # geometry (see RECOMMENDED_* above).  Certification: distribution-level
+    # quality gate at the SAME U-ViT-L/2 geometry on weights TRAINED on
+    # chip, judged only by channels ARMED by that instance's NFE
+    # dose-response (quality_gate/trained_L/report.json; BENCH.md round 5).
+    # Exact protocol stays the headline "value"; this records the certified
+    # accelerated operating point alongside it.
     if os.environ.get("BENCH_RECOMMENDED", "on") != "off":
         rec_pipeline, _, _ = build_pipeline(
             batch_size, components, **RECOMMENDED_KNOBS,
@@ -189,30 +221,15 @@ def main():
             recommended_value=round(rec, 3),
             recommended_vs_baseline=round(rec / A100_BASELINE_EST, 3),
         )
-        # Surface the certification itself, not just a pointer.  The three
-        # cases are distinct (ADVICE round 4): report file absent -> no
-        # certification claim at all; report present but the recommended
-        # mode never gated -> UNMEASURED; report present but NO channel
-        # armed by that instance's NFE dose-response -> UNARMED (round-4
-        # lesson: an unarmed PASS is a blind spot, not a certificate).
         report_path = os.path.join(
             os.path.dirname(os.path.abspath(__file__)),
             "quality_gate", "trained_L", "report.json")
-        try:
-            with open(report_path) as f:
-                rep = json.load(f)
-        except (OSError, ValueError):
-            record["recommended_gate_verdict"] = "UNMEASURED"
-        else:
+        verdict, certified = gate_certification(report_path,
+                                                RECOMMENDED_MODE_SPEC)
+        record["recommended_gate_verdict"] = verdict
+        if certified:
             record["recommended_certification"] = (
                 "quality_gate/trained_L/report.json")
-            entry = rep.get("modes", {}).get(RECOMMENDED_MODE_SPEC)
-            if entry is None:
-                record["recommended_gate_verdict"] = "UNMEASURED"
-            elif not rep.get("report_armed", False):
-                record["recommended_gate_verdict"] = "UNARMED"
-            else:
-                record["recommended_gate_verdict"] = entry["verdict"]
     print(json.dumps(record))
 
 

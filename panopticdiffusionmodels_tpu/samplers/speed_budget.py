@@ -24,6 +24,13 @@ cached correction — outputs bit-identical to the plain interval) and for
 the guide-early orientation it cuts the drift ~35% but still FAILs at ~3x
 the 25-NFE control's own shift (BENCH.md "Mask-guidance hold").  The
 demotion stands with the hold evidence closed.
+
+Round 5 extended the demotion to the IMAGE flagship: the armed latent
+pattern-match channel on the flagship-scale trained instance measures
+interval=(0.0,0.5) alone at 36.7x the 25-NFE control (the full combo at
+36.3x — the interval is the entire failure) while gelu+accel=0.2 passes
+at 1.57x.  The recommended accelerated configuration on EVERY geometry is
+now gelu_approx + accel (no interval); see quality_gate/*/report.json.
 """
 from __future__ import annotations
 
@@ -40,10 +47,16 @@ from absl import logging
 # 512 panoptic, secondary protocols).
 _VALIDATED = {
     # ImageNet U-ViT-L/2 and L/4 (same network; accel 0.3 measured at
-    # 2.1-2.4% rel dev -> over budget, 0.2 at ~1.2%).  Image-only stream:
-    # the round-3 trained distribution gate PASSes gelu/accel<=0.3/interval
-    # an order of magnitude below the seed-noise floor (BENCH.md round 3).
-    ("uvit", 1024, 20, False): dict(max_accel=0.2, interval_ok=True, gelu_ok=True),
+    # 2.1-2.4% rel dev -> over budget, 0.2 at ~1.2%).
+    # cfg_interval DEMOTED (round 5): on the FLAGSHIP-SCALE trained
+    # instance the armed latent pattern-match channel measures
+    # interval=(0.0,0.5) ALONE at 36.7x the 25-NFE control's shift (the
+    # interval+accel+gelu combo is 36.3x — the interval is the entire
+    # failure), while gelu_accel=0.2 sits at 1.57x (PASS).  The round-3
+    # S-scale interval PASS was carried by channels round 4 proved weakly
+    # armed; no sharp-channel PASS for a guidance interval exists on ANY
+    # geometry (quality_gate/trained_L/report.json; BENCH.md round 5).
+    ("uvit", 1024, 20, False): dict(max_accel=0.2, interval_ok=False, gelu_ok=True),
     # Panoptic U-ViT-S/2 (256 and 512 res): accel 0.2 -> 1.35% bit flips,
     # and the round-3 TRAINED dual-stream distribution gate confirms
     # accel=0.2 (mask-id TV 1.75x seed floor, PASS) and gelu (0.17x).
@@ -53,8 +66,11 @@ _VALIDATED = {
     # guidance gap drifts the mask ids (quality_gate/trained_panoptic).
     ("uvit_t2i", 512, 12, True): dict(max_accel=0.2, interval_ok=False, gelu_ok=True),
     # t2i-only S model: image stream only, shares the image-stream
-    # trajectory measurements (interval PASSes on image distributions)
-    ("uvit_t2i", 512, 12, False): dict(max_accel=0.2, interval_ok=True, gelu_ok=True),
+    # trajectory measurements.  interval demoted with the flagship
+    # evidence (round 5): both sharp-channel gate measurements of a
+    # guidance interval (panoptic mask TV, flagship latent TV) FAIL, and
+    # the S-scale image PASS rested on weakly-armed channels.
+    ("uvit_t2i", 512, 12, False): dict(max_accel=0.2, interval_ok=False, gelu_ok=True),
     # Panoptic U-ViT-L: accel 0.2 measured at 13.4% mask dev / 4.2% bit
     # flips (over budget); interval demoted with the S-model gate evidence
     # (same mask-stream mechanism, deeper model measured MORE sensitive).
@@ -117,9 +133,10 @@ def check_speed_modes(config, log: bool = True) -> List[str]:
         if interval and not entry.get("interval_ok", False):
             warnings.append(
                 f"sample.cfg_interval={interval} is not validated for {label}"
-                " — on panoptic geometries the trained distribution gate"
-                " FAILed every guidance interval (mask-id TV 4.7-10.3x the"
-                " seed-noise floor; BENCH.md round 3). Use gelu_approx +"
+                " — every sharp-channel gate measurement of a guidance"
+                " interval FAILs: panoptic mask-id TV 4.7-10.3x the seed"
+                " floor (round 3) and flagship latent TV 36.7x the 25-NFE"
+                " control (round 5, interval alone). Use gelu_approx +"
                 " accel instead."
             )
         if gelu and not entry.get("gelu_ok", False):

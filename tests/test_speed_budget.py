@@ -17,12 +17,24 @@ def test_validated_modes_stay_silent():
         config.sample.accel = 0.2
         config.nnet.gelu_approx = True
         assert check_speed_modes(config, log=False) == [], name
-    # image-only flagship: all three modes validated (trained gate PASS)
+    # image-only flagship: gelu + accel<=0.2 (the round-5 recommended pair,
+    # flagship-scale gate PASS at 1.57x the 25-NFE control)
     config = get_config("imagenet256_uvit_large")
     config.sample.accel = 0.2
-    config.sample.cfg_interval = (0.0, 0.5)
     config.nnet.gelu_approx = True
     assert check_speed_modes(config, log=False) == []
+
+
+def test_flagship_interval_demoted():
+    """Round-5 flagship-scale gate: interval=(0.0,0.5) alone shifts the
+    trained latent distribution 36.7x the 25-NFE control (the armed latent
+    pattern-match channel) — enabling an interval on the image flagship
+    must warn and point at the validated pair."""
+    config = get_config("imagenet256_uvit_large")
+    config.sample.cfg_interval = (0.0, 0.5)
+    warnings = check_speed_modes(config, log=False)
+    assert len(warnings) == 1 and "not validated" in warnings[0]
+    assert "gelu_approx" in warnings[0]
 
 
 def test_panoptic_interval_demoted():
