@@ -174,11 +174,13 @@ def _params_path(geo):
 _GEO_SCALE = {"trained": (512, 12, 8), "trained_L": (1024, 20, 16)}
 
 
-def _class_patterns(num_classes=10):
-    """Deterministic per-class smooth 2-D sinusoid latents (C, 32, 32, 4) —
-    shared by the 'trained' and 'trained_panoptic' geometries so both gates
-    draw the SAME class modes (the panoptic masks quantize channel 0)."""
-    h = np.linspace(0, 2 * np.pi, 32, endpoint=False)
+def _class_patterns(num_classes=10, size=32):
+    """Deterministic per-class smooth 2-D sinusoid latents (C, size, size, 4)
+    — shared by the 'trained' and 'trained_panoptic' geometries so both gates
+    draw the SAME class modes (the panoptic masks quantize channel 0).  The
+    random draws are size-independent, so size=64 (the 512-res geometry) is
+    the same continuous per-class function sampled on a finer grid."""
+    h = np.linspace(0, 2 * np.pi, size, endpoint=False)
     pats = []
     for c in range(num_classes):
         pr = np.random.RandomState(1234 + c)
@@ -379,10 +381,15 @@ def _latent_stats(z0, patterns):
     return class_hist.astype(np.int64), q_hist.astype(np.int64)
 
 
-_TRAINED_PANOPTIC_PARAMS = _params_path("trained_panoptic")
+def _panoptic_geo_dims(geo):
+    """(latent grid, mask grid) of a panoptic gate geometry:
+    trained_panoptic = the 256-res flagship (32, 64); trained_panoptic_512 =
+    the mscoco_uvit_small_512 geometry (64, 128; L≈2126 dual stream — the
+    long-sequence Pallas path)."""
+    return (64, 128) if geo.endswith("512") else (32, 64)
 
 
-def _panoptic_class_assets(num_classes=10, mask=64):
+def _panoptic_class_assets(num_classes=10, mask=64, size=32):
     """Per-class (latent pattern, mask-id map, context) — all deterministic.
 
     The mask ids are a 3-level quantization of the class pattern's first
@@ -390,10 +397,10 @@ def _panoptic_class_assets(num_classes=10, mask=64):
     ids), so image and mask are structurally COUPLED — the property the
     panoptic speed modes must preserve.  The per-class context vector is the
     'caption embedding' the model learns to condition on."""
-    pats = _class_patterns(num_classes)  # (C, 32, 32, 4)
+    pats = _class_patterns(num_classes, size)  # (C, size, size, 4)
     masks, ctxs = [], []
     for c in range(num_classes):
-        r = mask // 32
+        r = mask // size
         up = np.repeat(np.repeat(pats[c, ..., 0], r, axis=0), r, axis=1)
         ids = np.zeros((mask, mask), np.int32)
         ids[up >= 0.3] = 1 + 2 * c
@@ -404,21 +411,27 @@ def _panoptic_class_assets(num_classes=10, mask=64):
     return pats, np.stack(masks), np.stack(ctxs)
 
 
-def _trained_panoptic_model(gelu, attn_impl="infer", use_checkpoint=False):
+def _trained_panoptic_model(gelu, attn_impl="infer", use_checkpoint=False,
+                            geo="trained_panoptic"):
     from panopticdiffusionmodels_tpu.models import UViTT2I
 
     # The headline panoptic geometry (mscoco_uvit_small: S/2, mask 64,
-    # dual stream, separate zeroconv coupling) — same class the protocol runs.
+    # dual stream, separate zeroconv coupling) — same class the protocol
+    # runs; trained_panoptic_512 is the mscoco_uvit_small_512 geometry
+    # (64×64 latents, mask 128) whose L≈2126 dual stream runs the kernel's
+    # long-sequence path.
+    size, msize = _panoptic_geo_dims(geo)
     return UViTT2I(
-        img_size=32, patch_size=2, in_chans=4, embed_dim=512, depth=12,
+        img_size=size, patch_size=2, in_chans=4, embed_dim=512, depth=12,
         num_heads=8, clip_dim=768, num_clip_token=77, mask_bits=8,
-        mask_size=64, enable_panoptic=True, separate=True, dtype=jnp.bfloat16,
-        scan_blocks=True, attn_impl=attn_impl, gelu_approx=gelu,
-        use_checkpoint=use_checkpoint,
+        mask_size=msize, enable_panoptic=True, separate=True,
+        dtype=jnp.bfloat16, scan_blocks=True, attn_impl=attn_impl,
+        gelu_approx=gelu, use_checkpoint=use_checkpoint,
     )
 
 
-def train_gate_panoptic(seconds: float = 900.0, batch: int = 32):
+def train_gate_panoptic(seconds: float = 900.0, batch: int = 32,
+                        geo: str = "trained_panoptic"):
     """Train the dual-stream gate model on the coupled (latent, mask, context)
     distribution with the REAL panoptic loss (`l_simple_panoptic`: eps MSE +
     analog-bit mask regression, 2x mask noise), EMA the params, save."""
@@ -431,14 +444,16 @@ def train_gate_panoptic(seconds: float = 900.0, batch: int = 32):
         stable_diffusion_beta_schedule,
     )
 
+    size, msize = _panoptic_geo_dims(geo)
     model = _trained_panoptic_model(False, attn_impl="auto",
-                                    use_checkpoint=True)
+                                    use_checkpoint=True, geo=geo)
     schedule = Schedule(stable_diffusion_beta_schedule())
     iseed = _instance_seed()
     params = jax.jit(
         lambda k: model.init(
-            k, jnp.zeros((1, 32, 32, 4)), jnp.zeros((1,)),
-            jnp.zeros((1, 77, 768)), mask_token=jnp.zeros((1, 64, 64, 8)))
+            k, jnp.zeros((1, size, size, 4)), jnp.zeros((1,)),
+            jnp.zeros((1, 77, 768)),
+            mask_token=jnp.zeros((1, msize, msize, 8)))
     )(jax.random.PRNGKey(iseed))
     tx = optax.adamw(
         optax.linear_schedule(0.0, 2e-4, 500), weight_decay=0.03)
@@ -463,8 +478,7 @@ def train_gate_panoptic(seconds: float = 900.0, batch: int = 32):
         ema = jax.tree.map(lambda e, p: 0.999 * e + 0.001 * p, ema, params)
         return params, opt_state, ema, le, lm
 
-    assets = _panoptic_class_assets()
-    pats, masks, ctxs = assets
+    pats, masks, ctxs = _panoptic_class_assets(mask=msize, size=size)
     rs = np.random.RandomState(iseed)
     key = jax.random.PRNGKey(42 + iseed)
     t0 = time.perf_counter()
@@ -473,7 +487,7 @@ def train_gate_panoptic(seconds: float = 900.0, batch: int = 32):
     while time.perf_counter() - t0 < seconds:
         y = rs.randint(0, len(pats), batch)
         amp = rs.uniform(0.7, 1.3, (batch, 1, 1, 1))
-        x0 = (amp * pats[y] + 0.25 * rs.normal(size=(batch, 32, 32, 4)))
+        x0 = (amp * pats[y] + 0.25 * rs.normal(size=(batch, size, size, 4)))
         pan = masks[y][..., None]
         ctx = ctxs[y].copy()
         ctx[rs.uniform(size=batch) < 0.1] = 0.0  # p_uncond dropout for CFG
@@ -487,14 +501,16 @@ def train_gate_panoptic(seconds: float = 900.0, batch: int = 32):
                   f"({time.perf_counter() - t0:.0f}s)", flush=True)
         i += 1
     le, lm = float(le_d), float(lm_d)
-    os.makedirs(os.path.dirname(_TRAINED_PANOPTIC_PARAMS), exist_ok=True)
-    with open(_TRAINED_PANOPTIC_PARAMS, "wb") as f:
+    path = _params_path(geo)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "wb") as f:
         f.write(flax.serialization.to_bytes(ema))
     print(f"trained {i} steps ({i * batch} images), final loss_eps {le:.4f} "
-          f"loss_mask {lm:.4f} -> {_TRAINED_PANOPTIC_PARAMS}")
+          f"loss_mask {lm:.4f} -> {path}")
 
 
-def _build_trained_panoptic(batch, accel, interval, gelu, steps, hold=False):
+def _build_trained_panoptic(batch, accel, interval, gelu, steps, hold=False,
+                            geo="trained_panoptic"):
     """Sampling pipeline over the TRAINED dual-stream model: the headline
     panoptic protocol shape (50-NFE mask-aware fast plan, t2i CFG scale 1.0
     with mask extrapolation, VAE decode)."""
@@ -508,20 +524,22 @@ def _build_trained_panoptic(batch, accel, interval, gelu, steps, hold=False):
     from panopticdiffusionmodels_tpu.models.vae import get_model as get_vae
     from panopticdiffusionmodels_tpu.samplers import DPMSolver, NoiseScheduleVP
 
-    model = _trained_panoptic_model(gelu)
+    size, msize = _panoptic_geo_dims(geo)
+    model = _trained_panoptic_model(gelu, geo=geo)
     template = jax.eval_shape(
         lambda k: model.init(
-            k, jnp.zeros((1, 32, 32, 4)), jnp.zeros((1,)),
-            jnp.zeros((1, 77, 768)), mask_token=jnp.zeros((1, 64, 64, 8))),
+            k, jnp.zeros((1, size, size, 4)), jnp.zeros((1,)),
+            jnp.zeros((1, 77, 768)),
+            mask_token=jnp.zeros((1, msize, msize, 8))),
         jax.random.PRNGKey(0),
     )
     template = jax.tree.map(lambda s: np.zeros(s.shape, s.dtype), template)
-    with open(_TRAINED_PANOPTIC_PARAMS, "rb") as f:
+    with open(_params_path(geo), "rb") as f:
         params = flax.serialization.from_bytes(template, f.read())
     params = jax.device_put(params)
     vae = get_vae(dtype=jnp.bfloat16)
     vae_params = jax.jit(
-        lambda k: vae.init(k, jnp.zeros((1, 32, 32, 4)), method="decode")
+        lambda k: vae.init(k, jnp.zeros((1, size, size, 4)), method="decode")
     )(jax.random.PRNGKey(1))
     betas = stable_diffusion_beta_schedule()
     schedule = Schedule(betas)
@@ -543,8 +561,8 @@ def _build_trained_panoptic(batch, accel, interval, gelu, steps, hold=False):
             mask_guidance_hold=hold,
         )
         k1, k2 = jax.random.split(key)
-        z = jax.random.normal(k1, (batch, 32, 32, 4))
-        m = jax.random.normal(k2, (batch, 64, 64, 8))
+        z = jax.random.normal(k1, (batch, size, size, 4))
+        m = jax.random.normal(k2, (batch, msize, msize, 8))
         z0, pred_mask = solver.sample(
             z, steps=steps, eps=1.0 / 1000, T=1.0, order=3, method="fast",
             mask_token=m,
@@ -554,7 +572,7 @@ def _build_trained_panoptic(batch, accel, interval, gelu, steps, hold=False):
         # the image-only trained geo) alongside the sharp mask-TV channel
         return img, pred_mask, z0
 
-    _, _, ctxs = _panoptic_class_assets()
+    _, _, ctxs = _panoptic_class_assets(mask=msize, size=size)
 
     def cond(i):  # class contexts: fixed per batch index, shared by all runs
         y = np.random.RandomState(9000 + i).randint(0, 10, size=batch)
@@ -605,9 +623,9 @@ def run_spec(geo, spec, out_dir, n, batch):
         assert not hold, "mask-hold specs need a panoptic geometry"
         pipeline, params, vae_params, cond = _build_trained(
             batch, accel, interval, gelu, steps, geo)
-    elif geo == "trained_panoptic":
+    elif geo.startswith("trained_panoptic"):
         pipeline, params, vae_params, cond = _build_trained_panoptic(
-            batch, accel, interval, gelu, steps, hold)
+            batch, accel, interval, gelu, steps, hold, geo)
     else:
         assert steps == 50, "steps control needs a steps-aware pipeline builder"
         pipeline, params, vae_params, cond = _build_panoptic(
@@ -627,7 +645,9 @@ def run_spec(geo, spec, out_dir, n, batch):
     latent_class = np.zeros(10, np.int64)
     latent_q = np.zeros(Q_BINS, np.int64)
     have_latents = False
-    patterns = _class_patterns()
+    patterns = _class_patterns(
+        size=_panoptic_geo_dims(geo)[0] if geo.startswith("trained_panoptic")
+        else 32)
     t0 = time.perf_counter()
     debug = os.environ.get("QG_DEBUG", "")
     for i in range(n // batch):
@@ -929,7 +949,8 @@ def report(geo, out_dir):
 def main():
     geo = _geo()
     assert geo in ("imagenet", "panoptic", "panoptic_large", "trained",
-                   "trained_L", "trained_panoptic"), geo
+                   "trained_L", "trained_panoptic",
+                   "trained_panoptic_512"), geo
     suffix = f"_{_INSTANCE}" if _INSTANCE else ""
     out_dir = os.path.join(
         os.environ.get("QG_DIR", "/root/repo/quality_gate"), geo + suffix)
@@ -940,8 +961,9 @@ def main():
             report(geo, out_dir)
         elif spec.startswith("train"):
             _, _, secs = spec.partition("=")
-            if geo == "trained_panoptic":
-                train_gate_panoptic(float(secs) if secs else 900.0, batch)
+            if geo.startswith("trained_panoptic"):
+                train_gate_panoptic(float(secs) if secs else 900.0, batch,
+                                    geo)
             else:
                 train_gate_model(float(secs) if secs else 600.0, geo=geo)
         else:

@@ -355,6 +355,24 @@ def test_panoptic_class_assets_coupled(qg):
         np.testing.assert_array_equal(masks[c] == 2 + 2 * c, up <= -0.3)
 
 
+def test_panoptic_class_assets_512_geometry(qg):
+    """trained_panoptic_512 assets: 64x64 latent patterns / 128 mask grid,
+    same coupling, and the 64-grid patterns are the SAME continuous
+    per-class functions sampled finer — every other sample equals the
+    32-grid pattern exactly (endpoint=False linspace nesting)."""
+    assert qg._panoptic_geo_dims("trained_panoptic_512") == (64, 128)
+    assert qg._panoptic_geo_dims("trained_panoptic") == (32, 64)
+    pats64, masks, ctxs = qg._panoptic_class_assets(mask=128, size=64)
+    assert pats64.shape == (10, 64, 64, 4)
+    assert masks.shape == (10, 128, 128)
+    pats32, _, ctxs32 = qg._panoptic_class_assets()
+    np.testing.assert_allclose(pats64[:, ::2, ::2, :], pats32, atol=1e-12)
+    np.testing.assert_allclose(ctxs, ctxs32)  # contexts size-independent
+    for c in range(10):
+        up = np.repeat(np.repeat(pats64[c, ..., 0], 2, 0), 2, 1)
+        np.testing.assert_array_equal(masks[c] == 1 + 2 * c, up >= 0.3)
+
+
 def test_structured_batch_deterministic(qg):
     a = qg._structured_batch(np.random.RandomState(7), 16)
     b = qg._structured_batch(np.random.RandomState(7), 16)
