@@ -68,11 +68,18 @@ def autoencoder_block(pretrained_path="assets/stable-diffusion/autoencoder_kl.pt
 
 def uvit(img_size, patch_size, embed_dim, depth, num_heads, in_chans=3,
          num_classes=-1, mlp_ratio=4, qkv_bias=False, mlp_time_embed=False,
-         use_checkpoint=False, conv=True, scan_blocks=False, remat_policy="",
-         gelu_approx=False):
-    # remat_policy: checkpoint policy when use_checkpoint=True ("" = recompute
-    # everything; "dots_no_batch" keeps MXU outputs — see
-    # models/scan_stack.resolve_remat_policy).
+         use_checkpoint=False, conv=True, scan_blocks=False,
+         remat_policy="save_attn", gelu_approx=False):
+    # remat_policy: checkpoint policy when use_checkpoint=True.  Default
+    # "save_attn" (round 5): save only each block's attention output — the
+    # remat replay then skips re-running the attention kernel, measured
+    # faster than recompute-everything on EVERY shipped geometry at
+    # identical loss (panoptic S/2 +5.6%, B128 +4.0%, latentL +1.9%,
+    # 512-res +12%) for one bf16 (B, L, C) per block of extra HBM
+    # (less than dots_no_batch's saved qkv output, which still fits at
+    # every measured batch).  "" = recompute everything (the pre-round-5
+    # default); see models/scan_stack.resolve_remat_policy and BENCH.md
+    # "Training remat policy".
     # gelu_approx: opt-in tanh GELU (reference uses exact erf) — ~13% faster
     # forward, different math; see models/layers.Mlp and BENCH.md.
     return d(
@@ -99,8 +106,8 @@ def uvit_t2i(img_size, patch_size, embed_dim, depth, num_heads, in_chans=4,
              mlp_ratio=4, qkv_bias=False, mlp_time_embed=False, clip_dim=768,
              num_clip_token=77, enable_panoptic=True, separate=True,
              use_ground_truth=False, mask_bits=8, mask_size=None,
-             use_checkpoint=False, conv=True, scan_blocks=False, remat_policy="",
-             gelu_approx=False):
+             use_checkpoint=False, conv=True, scan_blocks=False,
+             remat_policy="save_attn", gelu_approx=False):
     return d(
         name="uvit_t2i",
         remat_policy=remat_policy,
