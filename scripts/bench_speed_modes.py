@@ -14,7 +14,9 @@ reported only to show the output stays in-distribution, not as an error bar.
 Usage: python scripts/bench_speed_modes.py [accel=<tau>] [interval=<lo>,<hi>]
        [combo=<tau>:<lo>,<hi>] [gelu=tanh] [full=<tau>:<lo>,<hi>] ...
 Defaults: accel=0.2 accel=0.3 interval=0.0,0.5 combo=0.2:0.0,0.5
-(combo=0.2:0.0,0.5 is the recommended speed mode in BENCH.md.)
+(The recommended certified mode since round 5 is gelu=tanh + accel=0.2 —
+intervals are demoted on every geometry, BENCH.md round 5; the interval
+specs remain measurable here for evidence runs.)
 One TPU process at a time (CLAUDE.md).
 """
 import os
