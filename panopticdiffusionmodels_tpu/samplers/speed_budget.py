@@ -29,8 +29,11 @@ Round 5 extended the demotion to the IMAGE flagship: the armed latent
 pattern-match channel on the flagship-scale trained instance measures
 interval=(0.0,0.5) alone at 36.7x the 25-NFE control (the full combo at
 36.3x — the interval is the entire failure) while gelu+accel=0.2 passes
-at 1.57x.  The recommended accelerated configuration on EVERY geometry is
-now gelu_approx + accel (no interval); see quality_gate/*/report.json.
+at 1.57x.  Round 5 also gated the 512-res panoptic geometry on its OWN
+trained instance and demoted accel there at any tau (latent channel 5.5x
+/ 14x the control; mask channel passes — worst-of-armed rules).  The
+recommended configurations: gelu+accel=0.2 on the 256-res geometries,
+gelu only at 512 res; no interval anywhere (quality_gate/*/report.json).
 """
 from __future__ import annotations
 
@@ -39,7 +42,13 @@ from typing import List, Optional
 from absl import logging
 
 # Validated ceilings per geometry, keyed by
-# (nnet family, embed_dim, depth, enable_panoptic).
+# (nnet family, embed_dim, depth, enable_panoptic, img_size).
+# img_size entered the key in round 5: the SAME dual-stream S/2 network is
+# gate-PASS for accel at 256 res but gate-FAIL at 512 res (the armed latent
+# pattern-match channel measures accel=0.2 at 14x / accel=0.1 at 5.5x the
+# 25-NFE control's drift on the 512-geo trained instance, N=1024 —
+# quality_gate/trained_panoptic_512/report.json), so resolution is part of
+# a mode's validity domain.
 # `max_accel`: largest forecast-skip tau whose measured deviation stayed
 # within budget (None = accel never measured in budget on this geometry);
 # `interval_ok` / `gelu_ok`: those modes measured within budget.
@@ -56,25 +65,35 @@ _VALIDATED = {
     # S-scale interval PASS was carried by channels round 4 proved weakly
     # armed; no sharp-channel PASS for a guidance interval exists on ANY
     # geometry (quality_gate/trained_L/report.json; BENCH.md round 5).
-    ("uvit", 1024, 20, False): dict(max_accel=0.2, interval_ok=False, gelu_ok=True),
-    # Panoptic U-ViT-S/2 (256 and 512 res): accel 0.2 -> 1.35% bit flips,
+    ("uvit", 1024, 20, False, 32): dict(max_accel=0.2, interval_ok=False, gelu_ok=True),
+    # ImageNet-512 L/4: same network as L/2 at the same 258 tokens (patch 4
+    # on 64px latents) — shares the flagship trajectory measurements.
+    ("uvit", 1024, 20, False, 64): dict(max_accel=0.2, interval_ok=False, gelu_ok=True),
+    # Panoptic U-ViT-S/2 at 256 res: accel 0.2 -> 1.35% bit flips,
     # and the round-3 TRAINED dual-stream distribution gate confirms
     # accel=0.2 (mask-id TV 1.75x seed floor, PASS) and gelu (0.17x).
     # cfg_interval DEMOTED (round 3): every interval tried shifts the
     # mask-id distribution 4.7-10.3x the seed floor on trained weights —
     # the solver's mask stream is CFG-extrapolated at every step, so any
     # guidance gap drifts the mask ids (quality_gate/trained_panoptic).
-    ("uvit_t2i", 512, 12, True): dict(max_accel=0.2, interval_ok=False, gelu_ok=True),
+    ("uvit_t2i", 512, 12, True, 32): dict(max_accel=0.2, interval_ok=False, gelu_ok=True),
+    # Panoptic S/2 at 512 res: accel DEMOTED at any tau (round 5).  The
+    # gate trained AT THIS GEOMETRY (mask loss 0.0032) passes accel on the
+    # mask channel (1.64x ctrl) but its armed latent pattern-match channel
+    # measures accel=0.2 at 14.0x and accel=0.1 at 5.5x the 25-NFE
+    # control's latent drift (N=1024, stable across an N=512 replication) —
+    # ~3/4 of a 10-NFE protocol cut.  Only gelu is validated here.
+    ("uvit_t2i", 512, 12, True, 64): dict(max_accel=None, interval_ok=False, gelu_ok=True),
     # t2i-only S model: image stream only, shares the image-stream
     # trajectory measurements.  interval demoted with the flagship
     # evidence (round 5): both sharp-channel gate measurements of a
     # guidance interval (panoptic mask TV, flagship latent TV) FAIL, and
     # the S-scale image PASS rested on weakly-armed channels.
-    ("uvit_t2i", 512, 12, False): dict(max_accel=0.2, interval_ok=False, gelu_ok=True),
+    ("uvit_t2i", 512, 12, False, 32): dict(max_accel=0.2, interval_ok=False, gelu_ok=True),
     # Panoptic U-ViT-L: accel 0.2 measured at 13.4% mask dev / 4.2% bit
     # flips (over budget); interval demoted with the S-model gate evidence
     # (same mask-stream mechanism, deeper model measured MORE sensitive).
-    ("uvit_t2i", 1024, 20, True): dict(max_accel=0.1, interval_ok=False, gelu_ok=True),
+    ("uvit_t2i", 1024, 20, True, 32): dict(max_accel=0.1, interval_ok=False, gelu_ok=True),
 }
 
 
@@ -87,6 +106,7 @@ def _geometry_key(config):
         int(nnet.get("embed_dim", 0)),
         int(nnet.get("depth", 0)),
         bool(nnet.get("enable_panoptic", False)),
+        int(nnet.get("img_size", 0)),
     )
 
 
@@ -103,7 +123,7 @@ def check_speed_modes(config, log: bool = True) -> List[str]:
     entry: Optional[dict] = _VALIDATED.get(key)
     label = (
         f"geometry (family={key[0]}, embed_dim={key[1]}, depth={key[2]}, "
-        f"panoptic={key[3]})"
+        f"panoptic={key[3]}, img_size={key[4]})"
     )
     if entry is None:
         modes = ", ".join(

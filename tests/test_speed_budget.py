@@ -11,12 +11,15 @@ def test_exact_protocol_never_warns():
 
 
 def test_validated_modes_stay_silent():
-    # panoptic geometries: gelu + accel<=0.2 (cfg_interval is demoted there)
-    for name in ("mscoco_uvit_small", "mscoco_uvit_small_512"):
-        config = get_config(name)
-        config.sample.accel = 0.2
-        config.nnet.gelu_approx = True
-        assert check_speed_modes(config, log=False) == [], name
+    # 256-res panoptic: gelu + accel<=0.2 (cfg_interval is demoted there)
+    config = get_config("mscoco_uvit_small")
+    config.sample.accel = 0.2
+    config.nnet.gelu_approx = True
+    assert check_speed_modes(config, log=False) == []
+    # 512-res panoptic: only gelu is validated (round-5 own-geometry gate)
+    config = get_config("mscoco_uvit_small_512")
+    config.nnet.gelu_approx = True
+    assert check_speed_modes(config, log=False) == []
     # image-only flagship: gelu + accel<=0.2 (the round-5 recommended pair,
     # flagship-scale gate PASS at 1.57x the 25-NFE control)
     config = get_config("imagenet256_uvit_large")
@@ -47,6 +50,18 @@ def test_panoptic_interval_demoted():
         warnings = check_speed_modes(config, log=False)
         assert len(warnings) == 1 and "not validated" in warnings[0], name
         assert "gelu_approx" in warnings[0]  # names the validated substitute
+
+
+def test_512_panoptic_accel_demoted():
+    """Round-5 own-geometry gate (trained_panoptic_512): the armed latent
+    pattern-match channel fails accel at ANY tau (0.2 at 14.0x, 0.1 at
+    5.5x the 25-NFE control) while the 256-res gate passes it — resolution
+    is part of a mode's validity domain, so enabling accel on the 512
+    config must warn."""
+    config = get_config("mscoco_uvit_small_512")
+    config.sample.accel = 0.1
+    warnings = check_speed_modes(config, log=False)
+    assert len(warnings) == 1 and "EXCEEDS" in warnings[0]
 
 
 def test_large_panoptic_accel_over_budget_warns():
